@@ -1,0 +1,80 @@
+"""Golden tests: fused multi-scale deformable attention vs a torch oracle.
+
+The oracle reproduces the plugin contract
+(TensorRT/plugin/multi_scale_deformable_attn, python side
+det2trt/models/functions/multi_scale_deformable_attn.py:62-115): softmax of
+raw logits over (levels x points), sampling locations = ref + off/(w,h),
+bilinear zero-padded align_corners=False gather per level, weighted sum.
+"""
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from bevformer_tensorrt_tpu.ops import multi_scale_deformable_attn
+
+
+def torch_msda_oracle(value, spatial_shapes, reference_points, sampling_offsets, attention_weights):
+    """Unfused torch implementation of the same contract (fp64 for tight deltas)."""
+    value = torch.from_numpy(value).double()
+    ref = torch.from_numpy(reference_points).double()
+    off = torch.from_numpy(sampling_offsets).double()
+    w = torch.from_numpy(attention_weights).double()
+
+    bs, num_keys, heads, ch = value.shape
+    num_q = ref.shape[1]
+    L = len(spatial_shapes)
+    P = w.shape[-1] // L
+    ppg = ref.shape[-1] // 2
+
+    w = w.reshape(bs, num_q, heads, L * P).softmax(-1).reshape(bs, num_q, heads, L, P)
+    off = off.reshape(bs, num_q, heads, L, P // ppg, ppg, 2)
+    norm = torch.tensor([[wd, ht] for (ht, wd) in spatial_shapes]).double()
+    loc = ref.reshape(bs, num_q, 1, 1, 1, ppg, 2) + off / norm.reshape(1, 1, 1, L, 1, 1, 2)
+    loc = loc.reshape(bs, num_q, heads, L, P, 2)
+
+    out = torch.zeros(bs, num_q, heads, ch).double()
+    start = 0
+    for lvl, (H, W) in enumerate(spatial_shapes):
+        v = value[:, start : start + H * W].reshape(bs, H, W, heads, ch)
+        start += H * W
+        v = v.permute(0, 3, 4, 1, 2).reshape(bs * heads, ch, H, W)
+        grid = 2 * loc[:, :, :, lvl] - 1  # [bs, q, heads, P, 2]
+        grid = grid.permute(0, 2, 1, 3, 4).reshape(bs * heads, num_q, P, 2)
+        samp = F.grid_sample(v, grid, mode="bilinear", padding_mode="zeros", align_corners=False)
+        samp = samp.reshape(bs, heads, ch, num_q, P)
+        wl = w[:, :, :, lvl].permute(0, 2, 1, 3)  # [bs, heads, q, P]
+        out += (samp * wl[:, :, None]).sum(-1).permute(0, 3, 1, 2)
+    return out.reshape(bs, num_q, heads * ch).numpy()
+
+
+@pytest.mark.parametrize("ppg", [1, 4])
+def test_msda_matches_oracle(rng, ppg):
+    bs, heads, ch = 2, 8, 32
+    spatial_shapes = ((12, 20), (6, 10), (3, 5))
+    L = len(spatial_shapes)
+    P = 2 * ppg  # points per level
+    num_keys = sum(h * w for h, w in spatial_shapes)
+    num_q = 50
+
+    value = rng.standard_normal((bs, num_keys, heads, ch)).astype(np.float32)
+    ref = rng.uniform(0.05, 0.95, (bs, num_q, 1, ppg * 2)).astype(np.float32)
+    off = (rng.standard_normal((bs, num_q, heads, L * P * 2)) * 2).astype(np.float32)
+    weights = rng.standard_normal((bs, num_q, heads, L * P)).astype(np.float32)
+
+    ours = multi_scale_deformable_attn(value, ref, off, weights, spatial_shapes)
+    ref_out = torch_msda_oracle(value, spatial_shapes, ref, off, weights)
+    mad = np.mean(np.abs(np.asarray(ours, np.float64) - ref_out))
+    assert mad < 1e-5, mad
+
+
+def test_msda_out_of_bounds_zero(rng):
+    """Samples far outside every level must contribute zero."""
+    bs, heads, ch = 1, 2, 4
+    spatial_shapes = ((8, 8),)
+    value = rng.standard_normal((bs, 64, heads, ch)).astype(np.float32)
+    ref = np.full((bs, 3, 1, 2), 5.0, np.float32)  # way outside [0, 1]
+    off = np.zeros((bs, 3, heads, 4 * 2), np.float32)
+    weights = np.zeros((bs, 3, heads, 4), np.float32)
+    out = multi_scale_deformable_attn(value, ref, off, weights, spatial_shapes)
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-7)
