@@ -1,0 +1,127 @@
+"""Calibration observers: max, histogram+percentile, entropy (KL).
+
+TPU-native equivalent of the reference's two calibration stacks:
+  * TensorRT engine calibrators {minmax, entropy, legacy}
+    (det2trt/quantization/calibrator_trt.py:6-92), and
+  * pytorch-quantization QDQ calibration {max, histogram} with
+    `load_calib_amax(percentile=99.99)` (det2trt/quantization/calibrator_qdq.py:8-80).
+
+Here calibration is a pure-functional two-pass process over activation
+statistics collected at QDQ sites (see quant/calibrate.py):
+  pass 1: running abs-max per site (jit-friendly; `update_amax`).
+  pass 2: fixed-bin histogram of |x| scaled to the pass-1 amax
+          (`update_histogram`).
+Scale selection then runs offline in numpy (`compute_scale`): 'max' uses the
+amax directly, 'percentile' integrates the histogram, 'entropy' runs the
+TensorRT-style KL-divergence threshold search.  The result is a scale-dict —
+the framework's analogue of the scales baked into a .trt engine.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+NUM_BINS = 2048
+QUANT_LEVELS = 128  # int8 positive range
+
+
+def update_amax(old_amax: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Running per-tensor abs-max (pass 1). Shapes: scalar state."""
+    return jnp.maximum(old_amax, jnp.max(jnp.abs(x)).astype(old_amax.dtype))
+
+
+def update_histogram(hist: jnp.ndarray, x: jnp.ndarray, amax: jnp.ndarray) -> jnp.ndarray:
+    """Accumulate |x| into a NUM_BINS histogram over [0, amax] (pass 2)."""
+    ax = jnp.abs(x).reshape(-1).astype(jnp.float32)
+    width = jnp.maximum(amax, 1e-12) / NUM_BINS
+    idx = jnp.clip((ax / width).astype(jnp.int32), 0, NUM_BINS - 1)
+    return hist.at[idx].add(1.0)
+
+
+def _kl_divergence(p: np.ndarray, q: np.ndarray) -> float:
+    p = p / max(p.sum(), 1e-12)
+    q = q / max(q.sum(), 1e-12)
+    mask = p > 0
+    qm = np.where(q > 0, q, 1e-12)
+    return float(np.sum(p[mask] * np.log(p[mask] / qm[mask])))
+
+
+def entropy_threshold(hist: np.ndarray) -> int:
+    """TensorRT-style KL threshold search: pick the clip bin i (>=128) whose
+    128-level quantization of hist[:i] (outliers folded into the last bin)
+    minimizes KL(P || Q).  Returns the chosen bin count i."""
+    hist = hist.astype(np.float64)
+    best_i, best_kl = NUM_BINS, np.inf
+    nonzero_total = hist.sum()
+    if nonzero_total == 0:
+        return NUM_BINS
+    for i in range(QUANT_LEVELS, NUM_BINS + 1, 8):
+        raw = hist[:i]
+        p = raw.copy()
+        p[-1] += hist[i:].sum()  # fold clipped outliers into P's last bin
+        # quantize the UNFOLDED raw distribution into QUANT_LEVELS groups,
+        # then expand back over raw's nonzero support — clipping mass that Q
+        # cannot represent is what the KL term penalizes.
+        group = i / QUANT_LEVELS
+        edges = (np.arange(QUANT_LEVELS + 1) * group).round().astype(int)
+        q = np.zeros(i)
+        for g in range(QUANT_LEVELS):
+            lo, hi = edges[g], edges[g + 1]
+            seg = raw[lo:hi]
+            nz = seg > 0
+            cnt = nz.sum()
+            if cnt:
+                q[lo:hi][nz] = seg[nz].sum() / cnt
+        kl = _kl_divergence(p, q)
+        if kl < best_kl:
+            best_kl, best_i = kl, i
+    return best_i
+
+
+def compute_scale(
+    amax: float, hist: np.ndarray | None, method: str = "entropy", percentile: float = 99.99
+) -> float:
+    """Turn collected stats into an int8 scale (x_int8 = round(x / scale)).
+
+    method: 'max' | 'percentile' | 'entropy' (cf. reference calibrators:
+    IInt8MinMaxCalibrator / histogram percentile=99.99 / IInt8EntropyCalibrator2).
+    """
+    amax = float(amax)
+    if amax <= 0:
+        return 1.0
+    if method == "max" or hist is None:
+        return amax / 127.0
+    hist = np.asarray(hist, np.float64)
+    width = amax / NUM_BINS
+    if method == "percentile":
+        total = hist.sum()
+        if total == 0:
+            return amax / 127.0
+        cdf = np.cumsum(hist) / total
+        bin_idx = int(np.searchsorted(cdf, percentile / 100.0))
+        return max((bin_idx + 1) * width, 1e-12) / 127.0
+    if method == "entropy":
+        i = entropy_threshold(hist)
+        return max((i + 0.5) * width / 127.0, 1e-12)
+    raise ValueError(f"unknown calibration method {method!r}")
+
+
+@dataclasses.dataclass
+class CalibrationResult:
+    """The scale-dict artifact (the .trt-engine analogue is params + this)."""
+
+    scales: Dict[str, float]
+    method: str
+
+    def save(self, path: str):
+        np.savez(path, method=self.method, **{k: np.float32(v) for k, v in self.scales.items()})
+
+    @staticmethod
+    def load(path: str) -> "CalibrationResult":
+        data = np.load(path, allow_pickle=False)
+        method = str(data["method"])
+        scales = {k: float(data[k]) for k in data.files if k != "method"}
+        return CalibrationResult(scales=scales, method=method)

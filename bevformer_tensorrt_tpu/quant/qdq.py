@@ -1,0 +1,43 @@
+"""QDQ site module: the flax-native analogue of a TensorQuantizer.
+
+A `QDQ` module marks a quantization site in a model.  Its behaviour is
+selected by which variable collections the caller makes available/mutable —
+the functional counterpart of pytorch-quantization's
+disable-quant/enable-calib mode flags (det2trt/quantization/calibrator_qdq.py:37-60):
+
+  * apply(..., mutable=["amax_stats"])  -> calibration pass 1: running abs-max.
+  * apply(..., mutable=["hist_stats"])  -> calibration pass 2: |x| histogram
+    binned to the pass-1 amax (requires "amax_stats" in variables).
+  * "quant" collection present          -> fake-quant (QDQ) with its scale:
+    PTQ-eval / QAT mode.  Gradients use the STE.
+  * otherwise                           -> identity (plain FP model).
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .fake_quant import fake_quant
+from .observers import NUM_BINS, update_amax, update_histogram
+
+
+class QDQ(nn.Module):
+    enabled: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        if not self.enabled:
+            return x
+        if self.is_mutable_collection("amax_stats"):
+            amax = self.variable("amax_stats", "amax", lambda: jnp.zeros((), jnp.float32))
+            if not self.is_initializing():
+                amax.value = update_amax(amax.value, x)
+            return x
+        if self.is_mutable_collection("hist_stats"):
+            hist = self.variable("hist_stats", "hist", lambda: jnp.zeros((NUM_BINS,), jnp.float32))
+            amax = self.get_variable("amax_stats", "amax")
+            hist.value = update_histogram(hist.value, x, amax)
+            return x
+        if self.has_variable("quant", "scale"):
+            return fake_quant(x, self.get_variable("quant", "scale"))
+        return x

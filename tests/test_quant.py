@@ -1,0 +1,127 @@
+"""Tests for the quantization subsystem: observers, fake-quant, QDQ modes,
+end-to-end calibration on a toy flax model."""
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bevformer_tensorrt_tpu.quant import (
+    QDQ,
+    CalibrationResult,
+    calibrate,
+    compute_scale,
+    dequantize,
+    fake_quant,
+    per_channel_scale,
+    quantize,
+    update_amax,
+    update_histogram,
+)
+from bevformer_tensorrt_tpu.quant.observers import NUM_BINS
+
+
+def test_quantize_roundtrip(rng):
+    x = rng.standard_normal((64, 64)).astype(np.float32) * 3
+    scale = np.float32(np.abs(x).max() / 127.0)
+    q = quantize(x, scale)
+    assert q.dtype == jnp.int8
+    xr = dequantize(q, scale)
+    assert np.max(np.abs(np.asarray(xr) - x)) <= scale / 2 + 1e-6
+
+
+def test_fake_quant_ste_gradient(rng):
+    x = jnp.asarray([0.1, -0.5, 200.0])  # last value clips at scale*127
+    scale = jnp.float32(0.1)
+    g = jax.grad(lambda t: jnp.sum(fake_quant(t, scale)))(x)
+    np.testing.assert_allclose(np.asarray(g), [1.0, 1.0, 0.0])
+
+
+def test_per_channel_scale(rng):
+    w = rng.standard_normal((8, 3, 3, 4)).astype(np.float32)
+    s = np.asarray(per_channel_scale(w, axis=0))
+    assert s.shape == (8, 1, 1, 1)
+    np.testing.assert_allclose(
+        s[:, 0, 0, 0], np.abs(w).max(axis=(1, 2, 3)) / 127.0, rtol=1e-6
+    )
+
+
+def test_compute_scale_max():
+    assert compute_scale(12.7, None, method="max") == pytest.approx(0.1)
+
+
+def test_compute_scale_percentile(rng):
+    # histogram heavily concentrated at low bins; 99.99 percentile should
+    # clip far below amax
+    hist = np.zeros(NUM_BINS)
+    hist[:100] = 1e6
+    hist[-1] = 1  # one outlier at amax
+    s_pct = compute_scale(1.0, hist, method="percentile", percentile=99.99)
+    s_max = compute_scale(1.0, hist, method="max")
+    assert s_pct < s_max * 0.2
+
+
+def test_compute_scale_entropy_clips_outliers(rng):
+    # gaussian-ish histogram with an outlier tail: entropy scale < max scale
+    x = np.abs(rng.standard_normal(200_000)) * 0.1
+    x = np.concatenate([x, [10.0]])
+    amax = x.max()
+    hist, _ = np.histogram(x, bins=NUM_BINS, range=(0, amax))
+    s_ent = compute_scale(amax, hist.astype(np.float64), method="entropy")
+    s_max = compute_scale(amax, None, method="max")
+    assert s_ent < s_max * 0.5
+
+
+class ToyModel(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        x = QDQ(name="qdq_in")(x)
+        x = nn.Dense(16, name="fc1")(x)
+        x = nn.relu(x)
+        x = QDQ(name="qdq_mid")(x)
+        x = nn.Dense(4, name="fc2")(x)
+        return x
+
+
+def test_calibrate_end_to_end(rng):
+    model = ToyModel()
+    x0 = jnp.asarray(rng.standard_normal((8, 32)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x0)
+    params = {"params": variables["params"]}
+
+    batches = [jnp.asarray(rng.standard_normal((512, 32)) * 2, jnp.float32) for _ in range(4)]
+
+    def apply_fn(v, batch, mutable):
+        _, mutated = model.apply(v, batch, mutable=mutable)
+        return mutated
+
+    for method in ("max", "percentile", "entropy"):
+        quant_vars, result = calibrate(apply_fn, params, batches, method=method)
+        assert set(result.scales) == {"qdq_in", "qdq_mid"}
+        assert all(s > 0 for s in result.scales.values())
+
+        # quantized apply runs and stays close to fp for benign ranges
+        y_fp = model.apply(params, batches[0])
+        y_q = model.apply({**params, **quant_vars}, batches[0])
+        rel = np.abs(np.asarray(y_q - y_fp)).mean() / (np.abs(np.asarray(y_fp)).mean() + 1e-9)
+        assert rel < 0.1, (method, rel)
+
+
+def test_calibration_result_roundtrip(tmp_path):
+    r = CalibrationResult(scales={"a/b": 0.5, "c": 0.25}, method="entropy")
+    p = str(tmp_path / "scales.npz")
+    r.save(p)
+    r2 = CalibrationResult.load(p)
+    assert r2.method == "entropy"
+    assert r2.scales == r.scales
+
+
+def test_observer_updates():
+    amax = jnp.zeros(())
+    amax = update_amax(amax, jnp.asarray([-3.0, 2.0]))
+    assert float(amax) == 3.0
+    hist = jnp.zeros((NUM_BINS,))
+    hist = update_histogram(hist, jnp.asarray([0.0, 1.4999, 2.999]), jnp.asarray(3.0))
+    assert float(hist.sum()) == 3.0
+    assert float(hist[0]) == 1.0  # 0.0 -> bin 0
+    assert float(hist[NUM_BINS - 1]) == 1.0  # 2.999 -> last bin
