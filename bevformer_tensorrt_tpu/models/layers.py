@@ -1,0 +1,145 @@
+"""Shared building-block layers with optional quantization sites.
+
+Mirrors the reference's registry-swapped layer families
+(det2trt/models/utils/register.py LINEAR_LAYERS {Linear, LinearQ} /
+CONV_LAYERS {Conv2dQ}): every QDense/QConv carries an activation QDQ site
+and a per-channel weight fake-quant site, both inert unless the caller
+enables `quant` (config) and supplies/collects the matching variable
+collections (see quant/qdq.py for the mode rules).
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..quant.fake_quant import fake_quant, per_channel_scale
+from ..quant.qdq import QDQ
+
+
+class WeightFakeQuant(nn.Module):
+    """Per-output-channel weight fake-quant (scale derived from the weight
+    itself, like pytorch-quantization's per-channel max weight quantizers).
+    Active only when the model is applied with a "quant" collection."""
+
+    channel_axis: int = -1
+
+    @nn.compact
+    def __call__(self, w):
+        flag = self.variable("quant", "w8", lambda: jnp.zeros((), jnp.float32))
+        if self.is_initializing() or not self.has_variable("quant", "w8"):
+            return w
+        del flag
+        axis = self.channel_axis % w.ndim
+        return fake_quant(w, per_channel_scale(w, axis=axis))
+
+
+class QDense(nn.Module):
+    features: int
+    use_bias: bool = True
+    quant: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features), jnp.float32
+        )
+        if self.quant:
+            x = QDQ(name="qdq_in")(x)
+            kernel = WeightFakeQuant(channel_axis=1, name="wq")(kernel)
+        dtype = self.dtype or x.dtype
+        y = jnp.dot(x.astype(dtype), kernel.astype(dtype))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias.astype(dtype)
+        return y
+
+
+class QConv(nn.Module):
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: str | int | Tuple = "SAME"
+    use_bias: bool = True
+    feature_group_count: int = 1
+    quant: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        """x: NHWC."""
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = ((pad, pad), (pad, pad))
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (*self.kernel_size, x.shape[-1] // self.feature_group_count, self.features),
+            jnp.float32,
+        )
+        if self.quant:
+            x = QDQ(name="qdq_in")(x)
+            kernel = WeightFakeQuant(channel_axis=3, name="wq")(kernel)
+        dtype = self.dtype or x.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            kernel.astype(dtype),
+            window_strides=self.strides,
+            padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.feature_group_count,
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias.astype(dtype)
+        return y
+
+
+class FFN(nn.Module):
+    """Two-fc feed-forward block with residual add (reference FFNTRT,
+    det2trt/models/modules/feedforward_network.py:20-68)."""
+
+    embed_dims: int
+    feedforward_channels: int
+    quant: bool = False
+
+    @nn.compact
+    def __call__(self, x, identity=None):
+        out = QDense(self.feedforward_channels, quant=self.quant, name="fc1")(x)
+        out = nn.relu(out)
+        out = QDense(self.embed_dims, quant=self.quant, name="fc2")(out)
+        return (x if identity is None else identity) + out
+
+
+class LearnedPositionalEncoding(nn.Module):
+    """Row/col learned positional embeddings (mmdet LearnedPositionalEncoding;
+    reference config configs/bevformer/bevformer_base.py:174-178).
+    Returns [bs, H, W, 2*num_feats]."""
+
+    num_feats: int
+    row_num_embed: int
+    col_num_embed: int
+
+    @nn.compact
+    def __call__(self, bs: int):
+        row = self.param(
+            "row_embed", nn.initializers.uniform(1.0), (self.row_num_embed, self.num_feats)
+        )
+        col = self.param(
+            "col_embed", nn.initializers.uniform(1.0), (self.col_num_embed, self.num_feats)
+        )
+        H, W = self.row_num_embed, self.col_num_embed
+        x = jnp.broadcast_to(col[None, :, :], (H, W, self.num_feats))
+        y = jnp.broadcast_to(row[:, None, :], (H, W, self.num_feats))
+        pos = jnp.concatenate([x, y], axis=-1)
+        return jnp.broadcast_to(pos[None], (bs, H, W, 2 * self.num_feats))
+
+
+def inverse_sigmoid(x, eps: float = 1e-5):
+    x = jnp.clip(x, 0.0, 1.0)
+    x1 = jnp.clip(x, eps, None)
+    x2 = jnp.clip(1.0 - x, eps, None)
+    return jnp.log(x1 / x2)
