@@ -1,0 +1,119 @@
+"""Benchmark: BEVFormer per-frame inference FPS on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Convention matches the reference (tools/bevformer/evaluate_trt.py:166-168):
+mean per-frame latency excluding warmup; batch 1; the recurrent prev_bev
+stays on device (our engine design) — the reference round-trips it through
+the host, we don't.
+
+Baselines (BASELINE.md, RTX 3090, best custom-plugin variant):
+  base  FP16/INT8 (MMDeploy): 2.2 FPS  <- the north-star row (BASELINE.json)
+  base  nv_half2 FP16/INT8:   8.6 FPS
+  small nv_half2 FP16/INT8:  22.9 FPS
+  tiny  nv_half2 FP16/INT8: 108.3 FPS
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINES = {"base": 2.2, "small": 22.9, "tiny": 108.3, "micro": 1.0}
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="base", choices=["tiny", "small", "base", "micro"])
+    ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--warmup", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+    import jax.numpy as jnp
+
+    from bevformer_tensorrt_tpu.configs import bevformer as cfgs
+    from bevformer_tensorrt_tpu.models.detectors.bevformer import BEVFormer
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
+    if dev.platform == "cpu" and args.model in ("base", "small"):
+        log("no accelerator — falling back to tiny")
+        args.model = "tiny"
+
+    cfg = getattr(cfgs, f"bevformer_{args.model}")(dtype=args.dtype)
+    model = BEVFormer(cfg)
+    nq = cfg.bev_h * cfg.bev_w
+
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(
+        rng.standard_normal((1, cfg.num_cams, 3, cfg.img_h, cfg.img_w)), jnp.float32
+    )
+    prev_bev = jnp.zeros((nq, 1, cfg.embed_dims), jnp.float32)
+    can_bus = jnp.asarray(rng.standard_normal(cfg.can_bus_dims), jnp.float32)
+    l2i = np.tile(np.eye(4, dtype=np.float32), (1, cfg.num_cams, 1, 1))
+    l2i[..., 0, 0] = l2i[..., 1, 1] = cfg.img_w / 2.0
+    l2i[..., 0, 3] = cfg.img_w / 2.0
+    l2i[..., 1, 3] = cfg.img_h / 2.0
+    lidar2img = jnp.asarray(l2i)
+
+    t0 = time.perf_counter()
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), image, prev_bev, jnp.float32(0.0), can_bus, lidar2img
+    )
+    jax.block_until_ready(variables)
+    log(f"init: {time.perf_counter() - t0:.1f}s")
+
+    @jax.jit
+    def apply_fn(v, image, prev_bev, use_prev, can_bus, l2i):
+        return model.apply(v, image, prev_bev, use_prev, can_bus, l2i)
+
+    t0 = time.perf_counter()
+    out = apply_fn(variables, image, prev_bev, jnp.float32(1.0), can_bus, lidar2img)
+    jax.block_until_ready(out)
+    log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
+
+    lat = []
+    pb = prev_bev
+    for i in range(args.warmup + args.iters):
+        t0 = time.perf_counter()
+        bev_embed, classes, coords = apply_fn(
+            variables, image, pb, jnp.float32(1.0), can_bus, lidar2img
+        )
+        pb = bev_embed  # recurrent state stays on device
+        jax.block_until_ready(coords)
+        dt = time.perf_counter() - t0
+        if i >= args.warmup:
+            lat.append(dt)
+    mean_ms = float(np.mean(lat) * 1000)
+    fps = 1000.0 / mean_ms
+    log(f"latency: mean {mean_ms:.1f} ms, min {min(lat)*1000:.1f} ms over {args.iters} iters")
+
+    baseline = BASELINES[args.model]
+    print(
+        json.dumps(
+            {
+                "metric": f"bevformer_{args.model}_{args.dtype}_fps",
+                "value": round(fps, 3),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

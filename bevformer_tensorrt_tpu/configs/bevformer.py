@@ -101,6 +101,32 @@ def bevformer_small(**over) -> BEVFormerConfig:
     return BEVFormerConfig(**d)
 
 
+def bevformer_micro(**over) -> BEVFormerConfig:
+    """Micro config for CI / virtual-mesh dryruns: same topology as tiny
+    (R50, 1 FPN level, single-frame) at shapes that compile+run in seconds
+    on a CPU-simulated mesh. Not a reference config — test infrastructure."""
+    d = dict(
+        name="micro",
+        embed_dims=64,
+        ffn_dims=128,
+        encoder_layers=2,
+        decoder_layers=2,
+        num_levels=1,
+        num_cams=2,
+        bev_h=8,
+        bev_w=8,
+        num_query=16,
+        img_h=96,
+        img_w=160,
+        backbone_depth=50,
+        backbone_out_indices=(3,),
+        dcn_stages=(False, False, False, False),
+        rotate_center=(4, 4),
+    )
+    d.update(over)
+    return BEVFormerConfig(**d)
+
+
 def bevformer_base(**over) -> BEVFormerConfig:
     """configs/bevformer/bevformer_base.py: R101-DCN, 4 FPN levels,
     200x200 BEV, 6 encoder layers, 900x1600 input."""

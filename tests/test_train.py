@@ -1,0 +1,108 @@
+"""Training subsystem tests: Hungarian assigner vs scipy, loss sanity,
+and a full micro train step (loss decreases over a few steps)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from scipy.optimize import linear_sum_assignment
+
+from bevformer_tensorrt_tpu.train import (
+    hungarian_assign,
+    normalize_bbox,
+    sigmoid_focal_loss,
+    make_optimizer,
+    make_train_step,
+    init_train_state,
+)
+from bevformer_tensorrt_tpu.train.losses import denormalize_bbox
+
+
+class TestHungarian:
+    def test_matches_scipy_optimum(self, rng):
+        for _ in range(10):
+            R = int(rng.integers(1, 30))
+            C = int(rng.integers(R, 300))
+            cost = rng.normal(size=(R, C)).astype(np.float32) * float(rng.uniform(0.1, 5))
+            r2c = np.asarray(hungarian_assign(cost))
+            ri, ci = linear_sum_assignment(cost)
+            assert len(set(r2c.tolist())) == R
+            np.testing.assert_allclose(
+                cost[np.arange(R), r2c].sum(), cost[ri, ci].sum(), rtol=1e-4
+            )
+
+    def test_identity_cost(self):
+        cost = 1.0 - np.eye(5, 8, dtype=np.float32)
+        r2c = np.asarray(hungarian_assign(cost))
+        np.testing.assert_array_equal(r2c, np.arange(5))
+
+    def test_constant_padding_rows_preserve_optimum(self, rng):
+        cost = rng.normal(size=(4, 50)).astype(np.float32)
+        padded = np.concatenate([cost, np.zeros((6, 50), np.float32)])
+        r2c = np.asarray(hungarian_assign(padded))[:4]
+        ri, ci = linear_sum_assignment(cost)
+        np.testing.assert_allclose(
+            cost[np.arange(4), r2c].sum(), cost[ri, ci].sum(), rtol=1e-4
+        )
+
+
+class TestLosses:
+    def test_normalize_roundtrip(self, rng):
+        boxes = np.zeros((7, 9), np.float32)
+        boxes[:, :3] = rng.uniform(-50, 50, (7, 3))
+        boxes[:, 3:6] = rng.uniform(0.5, 5, (7, 3))
+        boxes[:, 6] = rng.uniform(-np.pi, np.pi, 7)
+        boxes[:, 7:] = rng.normal(size=(7, 2))
+        code = normalize_bbox(jnp.asarray(boxes))
+        assert code.shape == (7, 10)
+        back = np.asarray(denormalize_bbox(code))
+        np.testing.assert_allclose(back, boxes, atol=1e-4)
+
+    def test_focal_loss_zero_for_confident_correct(self):
+        logits = jnp.full((4, 10), -20.0)
+        logits = logits.at[jnp.arange(4), jnp.arange(4)].set(20.0)
+        loss = sigmoid_focal_loss(logits, jnp.arange(4), 10)
+        assert float(loss.sum()) < 1e-3
+
+    def test_focal_loss_background(self):
+        logits = jnp.full((4, 10), -20.0)
+        # label == num_classes -> background, all-negative is perfect
+        loss = sigmoid_focal_loss(logits, jnp.full((4,), 10), 10)
+        assert float(loss.sum()) < 1e-3
+
+
+@pytest.mark.slow
+class TestTrainStep:
+    def test_micro_train_step_decreases_loss(self, rng):
+        from bevformer_tensorrt_tpu.configs.bevformer import bevformer_micro
+        from bevformer_tensorrt_tpu.models.detectors.bevformer import BEVFormer
+
+        cfg = bevformer_micro(encoder_layers=1, decoder_layers=1)
+        model = BEVFormer(cfg)
+        tx = make_optimizer(learning_rate=1e-3)
+        params, batch_stats, opt_state = init_train_state(
+            model, jax.random.PRNGKey(0), cfg, tx
+        )
+        B, max_gt = 1, 4
+        gt_boxes = np.zeros((B, max_gt, 9), np.float32)
+        gt_boxes[..., :2] = rng.uniform(-10, 10, (B, max_gt, 2))
+        gt_boxes[..., 3:6] = 2.0
+        gt_labels = np.full((B, max_gt), -1, np.int32)
+        gt_labels[:, :2] = rng.integers(0, cfg.num_classes, (B, 2))
+        l2i = np.tile(np.eye(4, dtype=np.float32), (B, 1, cfg.num_cams, 1, 1))
+        l2i[..., 0, 0] = l2i[..., 1, 1] = cfg.img_w / 2
+        batch = {
+            "image": jnp.asarray(
+                rng.standard_normal((B, cfg.num_cams, 3, cfg.img_h, cfg.img_w)), jnp.float32
+            ),
+            "can_bus": jnp.zeros((B, cfg.can_bus_dims)),
+            "lidar2img": jnp.asarray(l2i),
+            "gt_boxes": jnp.asarray(gt_boxes),
+            "gt_labels": jnp.asarray(gt_labels),
+        }
+        step = jax.jit(make_train_step(model, cfg.num_classes, tx))
+        losses = []
+        for _ in range(5):
+            params, opt_state, metrics = step(params, batch_stats, opt_state, batch)
+            losses.append(float(metrics["loss"]))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0], losses
