@@ -94,7 +94,9 @@ def main():
             variables, image, pb, jnp.float32(1.0), can_bus, lidar2img
         )
         pb = bev_embed  # recurrent state stays on device
-        jax.block_until_ready(coords)
+        # force a device->host readback: block_until_ready alone can return
+        # before remote execution finishes on tunneled backends
+        np.asarray(coords[-1, 0, 0])
         dt = time.perf_counter() - t0
         if i >= args.warmup:
             lat.append(dt)

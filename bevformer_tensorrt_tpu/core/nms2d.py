@@ -1,0 +1,62 @@
+"""Axis-aligned 2D NMS (host-side numpy) for the 2D model family.
+
+Replaces mmdet's multiclass_nms used by the reference's YOLOX/CenterNet
+deployment path (test_cfg nms iou_threshold 0.65 / 0.5).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+
+def nms(boxes: np.ndarray, scores: np.ndarray, iou_threshold: float) -> np.ndarray:
+    """Greedy NMS on xyxy boxes; returns kept indices (score-desc order)."""
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    areas = np.maximum(x2 - x1, 0) * np.maximum(y2 - y1, 0)
+    order = np.argsort(-scores)
+    keep = []
+    while order.size > 0:
+        i = order[0]
+        keep.append(i)
+        if order.size == 1:
+            break
+        rest = order[1:]
+        xx1 = np.maximum(x1[i], x1[rest])
+        yy1 = np.maximum(y1[i], y1[rest])
+        xx2 = np.minimum(x2[i], x2[rest])
+        yy2 = np.minimum(y2[i], y2[rest])
+        inter = np.maximum(xx2 - xx1, 0) * np.maximum(yy2 - yy1, 0)
+        iou = inter / np.maximum(areas[i] + areas[rest] - inter, 1e-12)
+        order = rest[iou <= iou_threshold]
+    return np.asarray(keep, np.int64)
+
+
+def multiclass_nms(
+    boxes: np.ndarray,    # [P, 4] shared across classes
+    scores: np.ndarray,   # [P, C]
+    score_thr: float,
+    iou_threshold: float,
+    max_per_img: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-class NMS; returns (boxes [k,4], scores [k], labels [k])."""
+    out_b, out_s, out_l = [], [], []
+    C = scores.shape[1]
+    for c in range(C):
+        sc = scores[:, c]
+        m = sc > score_thr
+        if not m.any():
+            continue
+        b = boxes[m]
+        s = sc[m]
+        keep = nms(b, s, iou_threshold)
+        out_b.append(b[keep])
+        out_s.append(s[keep])
+        out_l.append(np.full(len(keep), c, np.int64))
+    if not out_b:
+        return np.zeros((0, 4)), np.zeros(0), np.zeros(0, np.int64)
+    b = np.concatenate(out_b)
+    s = np.concatenate(out_s)
+    l = np.concatenate(out_l)
+    order = np.argsort(-s)[:max_per_img]
+    return b[order], s[order], l[order]

@@ -23,7 +23,8 @@ from ...ops import modulated_deform_conv2d
 from ...quant.qdq import QDQ
 from ..layers import QConv
 
-STAGE_BLOCKS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
+STAGE_BLOCKS = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
+BASIC_DEPTHS = (18, 34)
 
 
 class FrozenBN(nn.Module):
@@ -129,6 +130,34 @@ class Bottleneck(nn.Module):
         return nn.relu(out + identity)
 
 
+class ResNetBasicBlock(nn.Module):
+    """Two-conv residual block for R18/R34 (CenterNet backbone)."""
+
+    planes: int
+    strides: Tuple[int, int] = (1, 1)
+    downsample: bool = False
+    quant: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        out = QConv(self.planes, (3, 3), self.strides, padding=1, use_bias=False, quant=self.quant, name="conv1")(x)
+        out = FrozenBN(name="bn1")(out)
+        out = nn.relu(out)
+        out = QConv(self.planes, (3, 3), padding=1, use_bias=False, quant=self.quant, name="conv2")(out)
+        out = FrozenBN(name="bn2")(out)
+        if self.downsample:
+            identity = QConv(
+                self.planes, (1, 1), self.strides, padding=0, use_bias=False,
+                quant=self.quant, name="downsample_conv",
+            )(x)
+            identity = FrozenBN(name="downsample_bn")(identity)
+        else:
+            identity = x
+        if self.quant:
+            identity = QDQ(name="qdq_residual")(identity)
+        return nn.relu(out + identity)
+
+
 class ResNet(nn.Module):
     depth: int = 101
     out_indices: Tuple[int, ...] = (1, 2, 3)
@@ -140,6 +169,7 @@ class ResNet(nn.Module):
     def __call__(self, x):
         """x: [N, H, W, 3] -> list of stage features (NHWC)."""
         blocks = STAGE_BLOCKS[self.depth]
+        basic = self.depth in BASIC_DEPTHS
         x = QConv(64, (7, 7), (2, 2), padding=3, use_bias=False, quant=self.quant, name="stem_conv")(x)
         x = FrozenBN(name="stem_bn")(x)
         x = nn.relu(x)
@@ -150,15 +180,24 @@ class ResNet(nn.Module):
         for stage in range(4):
             stride = (1, 1) if stage == 0 else (2, 2)
             for b in range(blocks[stage]):
-                x = Bottleneck(
-                    planes=planes,
-                    strides=stride if b == 0 else (1, 1),
-                    downsample=(b == 0),
-                    style=self.style,
-                    dcn=self.dcn_stages[stage],
-                    quant=self.quant,
-                    name=f"stage{stage}_block{b}",
-                )(x)
+                if basic:
+                    x = ResNetBasicBlock(
+                        planes=planes,
+                        strides=stride if b == 0 else (1, 1),
+                        downsample=(b == 0 and stage > 0),
+                        quant=self.quant,
+                        name=f"stage{stage}_block{b}",
+                    )(x)
+                else:
+                    x = Bottleneck(
+                        planes=planes,
+                        strides=stride if b == 0 else (1, 1),
+                        downsample=(b == 0),
+                        style=self.style,
+                        dcn=self.dcn_stages[stage],
+                        quant=self.quant,
+                        name=f"stage{stage}_block{b}",
+                    )(x)
             if stage in self.out_indices:
                 outs.append(x)
             planes *= 2

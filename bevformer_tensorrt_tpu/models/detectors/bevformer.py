@@ -56,8 +56,10 @@ class BEVFormer(nn.Module):
             quant=cfg.quant,
             name="img_neck",
         )(feats)
-        # [cams, H, W, C] -> [1, cams, H, W, C]
-        mlvl = [f.reshape(bs, cams, *f.shape[1:]).astype(jnp.float32) for f in feats]
+        # [cams, H, W, C] -> [1, cams, H, W, C]; stay in compute dtype — the
+        # encoder/decoder run in bf16 on TPU (upcasting here OOMs base on a
+        # 16 GB chip), geometry & outputs are handled in f32 downstream.
+        mlvl = [f.reshape(bs, cams, *f.shape[1:]).astype(dtype) for f in feats]
 
         return BEVFormerHead(cfg, name="pts_bbox_head")(
             mlvl,

@@ -93,8 +93,8 @@ class BEVFormerHead(nn.Module):
         outputs_coords = []
         for lvl in range(cfg.decoder_layers):
             reference = init_reference if lvl == 0 else inter_refs[lvl - 1]
-            reference = inverse_sigmoid(reference)
-            hs = inter_states[lvl]  # [1, num_query, C]
+            reference = inverse_sigmoid(reference.astype(jnp.float32))
+            hs = inter_states[lvl].astype(jnp.float32)  # [1, num_query, C]
             cls_out = cls_branches[lvl](hs)
             tmp = reg_branches[lvl](hs)
             # decode into pc_range metric space (bevformer_head.py:157-187)

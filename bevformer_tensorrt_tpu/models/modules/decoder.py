@@ -69,9 +69,9 @@ class DetectionTransformerDecoder(nn.Module):
             query = DecoderLayer(cfg, name=f"layer{lid}")(
                 query, query_pos, value, ref_2d, spatial_shapes
             )
-            tmp = reg_branches(lid, query)  # [1, nq, code_size]
+            tmp = reg_branches(lid, query).astype(jnp.float32)  # [1, nq, code_size]
             # iterative refinement (decoder.py:92-103): xy from tmp[0:2],
-            # z from tmp[4:5], added in inverse-sigmoid space.
+            # z from tmp[4:5], added in inverse-sigmoid space (f32 geometry).
             reference_points = jax.nn.sigmoid(
                 jnp.concatenate(
                     [

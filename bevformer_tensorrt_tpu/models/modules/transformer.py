@@ -101,25 +101,26 @@ class PerceptionTransformer(nn.Module):
         level_embeds = self.param(
             "level_embeds", nn.initializers.normal(1.0), (cfg.num_levels, C), jnp.float32
         )
+        dtype = jnp.dtype(cfg.dtype)
         flat = []
         spatial_shapes = []
         for lvl, feat in enumerate(mlvl_feats):
             _, cams, h, w, c = feat.shape
-            f = feat.reshape(cams, h * w, c)
+            f = feat.reshape(cams, h * w, c).astype(dtype)
             if cfg.use_cams_embeds:
-                f = f + cams_embeds[:, None, :]
-            f = f + level_embeds[lvl][None, None, :]
+                f = f + cams_embeds[:, None, :].astype(dtype)
+            f = f + level_embeds[lvl][None, None, :].astype(dtype)
             flat.append(f)
             spatial_shapes.append((h, w))
         value = jnp.concatenate(flat, axis=1)  # [cams, keys, C]
         spatial_shapes = tuple(spatial_shapes)
 
         bev_embed = BEVFormerEncoder(cfg, name="encoder")(
-            bev_q,
+            bev_q.astype(dtype),
             value,
-            bev_pos,
+            bev_pos.astype(dtype),
             lidar2img,
-            prev_bev,
+            prev_bev.astype(dtype),
             shift,
             use_prev_bev,
             spatial_shapes,
@@ -129,10 +130,14 @@ class PerceptionTransformer(nn.Module):
         query_pos, query = jnp.split(object_query_embed[None], 2, axis=-1)
         reference_points = jax.nn.sigmoid(
             QDense(3, quant=cfg.quant, name="reference_points")(query_pos)
-        )  # [1, num_query, 3]
+        )  # [1, num_query, 3] — f32 (geometry)
         init_reference = reference_points
 
         inter_states, inter_refs = DetectionTransformerDecoder(cfg, name="decoder")(
-            query, query_pos, bev_embed, reference_points, reg_branches
+            query.astype(dtype),
+            query_pos.astype(dtype),
+            bev_embed,
+            reference_points.astype(jnp.float32),
+            reg_branches,
         )
-        return bev_embed, inter_states, init_reference, inter_refs
+        return bev_embed.astype(jnp.float32), inter_states, init_reference, inter_refs

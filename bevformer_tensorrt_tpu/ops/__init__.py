@@ -7,7 +7,11 @@ under `ops/pallas/`.  The public names here dispatch to the best available
 implementation for the current backend.
 """
 from .grid_sample import grid_sample_2d, grid_sample_3d, grid_sampler
-from .msda import multi_scale_deformable_attn, msda_sampling_locations
+from .msda import (
+    multi_scale_deformable_attn,
+    multi_scale_deformable_attn_reference,
+    msda_sampling_locations,
+)
 from .rotate import rotate
 from .bev_pool import bev_pool_v2
 from .attention import qkv, multi_head_attention

@@ -9,16 +9,17 @@ and produces the weighted sum.  Keeping softmax inside the op mirrors the
 plugin's fusion contract (…Kernel.cu:643-687) so calibration scales attach to
 the same tensors as the reference.
 
-Two implementations share this contract:
-  * `multi_scale_deformable_attn` (this file): pure-jnp, vectorized gathers
-    via `jnp.take_along_axis`, static level loop.  Differentiable — also the
-    training path.  Serves as the oracle for the Pallas kernel
-    (`ops/pallas/msda.py`), mirroring the reference's P5-as-oracle tests.
-  * Pallas kernel: per-(head, query-block) grid; value level resident in
-    VMEM; used on TPU when shapes qualify.
+Memory-bounded TPU design (the CUDA kernel's streaming behavior, re-expressed
+for XLA): the four bilinear corners of all P points are gathered as ONE
+take_along_axis of 4P rows per (query, head) — one gather buffer instead of
+four — and the query axis is processed in fixed-size chunks via `lax.map`,
+which serializes chunks so peak HBM is one chunk's gather buffer
+(bs x chunk x heads x 4P x ch) rather than the full 40k-query tensor that
+OOMs a 16 GB chip.  Gathers and the weighted-sum einsum run in the value
+dtype (bf16 on TPU) with fp32 accumulation; softmax is fp32.
 
-Layout note (TPU-first): value is [bs, num_keys, heads, ch] with ch minor —
-gathers pull contiguous (heads*ch) rows, which XLA vectorizes over lanes.
+`multi_scale_deformable_attn_reference` is the unchunked fp32 oracle used by
+golden tests (the reference's P5-as-oracle pattern, SURVEY.md §4).
 """
 from __future__ import annotations
 
@@ -60,51 +61,16 @@ def msda_sampling_locations(
     return loc.reshape(bs, num_q, num_heads, L, -1, 2)
 
 
-@functools.partial(jax.jit, static_argnames=("spatial_shapes",))
-def multi_scale_deformable_attn(
-    value: jax.Array,
-    reference_points: jax.Array,
-    sampling_offsets: jax.Array,
-    attention_weights: jax.Array,
-    spatial_shapes: Tuple[Tuple[int, int], ...],
-) -> jax.Array:
-    """Fused multi-scale deformable attention (jnp reference / XLA path).
-
-    Args:
-      value: [bs, num_keys, heads, ch] — levels concatenated along num_keys
-        in `spatial_shapes` order (row-major h*w each).
-      reference_points: [bs, num_q, 1, ppg*2] normalized [0,1].
-      sampling_offsets: [bs, num_q, heads, L*P*2] raw pixel offsets.
-      attention_weights: [bs, num_q, heads, L*P] RAW logits (softmax inside).
-      spatial_shapes: static tuple of (h, w) per level.
-
-    Returns:
-      [bs, num_q, heads*ch]
-    """
-    bs, num_keys, num_heads, ch = value.shape
-    num_q = reference_points.shape[1]
-    L = len(spatial_shapes)
-    P = attention_weights.shape[-1] // L
-    assert num_keys == sum(h * w for h, w in spatial_shapes)
-
-    cdtype = jnp.float32
-    weights = jax.nn.softmax(attention_weights.astype(cdtype), axis=-1)
-    weights = weights.reshape(bs, num_q, num_heads, L, P)
-
-    loc = msda_sampling_locations(
-        reference_points.astype(cdtype),
-        sampling_offsets.astype(cdtype),
-        spatial_shapes,
-        num_heads,
-    )  # [bs, q, h, L, P, 2]
-
-    out = jnp.zeros((bs, num_q, num_heads, ch), cdtype)
-    start = 0
+def _msda_chunk(value_levels, weights, loc, spatial_shapes, out_dtype):
+    """One query chunk. value_levels: list of [bs, HW, heads, ch] (op dtype);
+    weights [bs, q, heads, L, P] fp32; loc [bs, q, heads, L, P, 2] fp32."""
+    bs, num_q, num_heads = loc.shape[:3]
+    P = loc.shape[4]
+    ch = value_levels[0].shape[-1]
+    acc = jnp.zeros((bs, num_q, num_heads, ch), jnp.float32)
     for lvl, (H, W) in enumerate(spatial_shapes):
-        v = value[:, start : start + H * W].astype(cdtype)  # [bs, HW, heads, ch]
-        start += H * W
-        # Normalized [0,1] -> pixel coords, align_corners=False convention:
-        # grid_sample(2*loc-1) with align_corners=False == loc*size - 0.5.
+        v = value_levels[lvl]
+        # normalized [0,1] -> pixel coords (align_corners=False: loc*size-0.5)
         x = loc[..., lvl, :, 0] * W - 0.5  # [bs, q, heads, P]
         y = loc[..., lvl, :, 1] * H - 0.5
         x0 = jnp.floor(x)
@@ -117,21 +83,157 @@ def multi_scale_deformable_attn(
         def corner(ix, iy, w):
             valid = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
             idx = jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
-            # gather per (bs, head): [bs, HW, heads, ch] indexed at axis 1
-            # with [bs, q, heads, P] -> [bs, q*P, heads] per-head indices.
+            return idx, w * valid.astype(w.dtype)
+
+        i00, m00 = corner(ix0, iy0, (1 - wx1) * (1 - wy1))
+        i01, m01 = corner(ix0 + 1, iy0, wx1 * (1 - wy1))
+        i10, m10 = corner(ix0, iy0 + 1, (1 - wx1) * wy1)
+        i11, m11 = corner(ix0 + 1, iy0 + 1, wx1 * wy1)
+
+        # ONE gather of 4P rows per (query, head): [bs, q, heads, 4P]
+        idx4 = jnp.concatenate([i00, i01, i10, i11], axis=-1)
+        wl = weights[:, :, :, lvl]  # [bs, q, heads, P] fp32
+        m4 = jnp.concatenate([m00 * wl, m01 * wl, m10 * wl, m11 * wl], axis=-1)
+
+        # [bs, q, heads, 4P] -> per-head gather layout [bs, q*4P, heads]
+        idxh = idx4.transpose(0, 1, 3, 2).reshape(bs, num_q * 4 * P, num_heads)
+        g = jnp.take_along_axis(v, idxh[..., None], axis=1)
+        g = g.reshape(bs, num_q, 4 * P, num_heads, ch)  # [b, q, 4P, h, c]
+        acc = acc + jnp.einsum(
+            "bqphc,bqhp->bqhc",
+            g,
+            m4.astype(g.dtype),
+            preferred_element_type=jnp.float32,
+        )
+    return acc.astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("spatial_shapes", "q_chunk"))
+def multi_scale_deformable_attn(
+    value: jax.Array,
+    reference_points: jax.Array,
+    sampling_offsets: jax.Array,
+    attention_weights: jax.Array,
+    spatial_shapes: Tuple[Tuple[int, int], ...],
+    q_chunk: int = 2048,
+) -> jax.Array:
+    """Fused multi-scale deformable attention (chunked XLA path).
+
+    Args:
+      value: [bs, num_keys, heads, ch] — levels concatenated along num_keys
+        in `spatial_shapes` order (row-major h*w each).
+      reference_points: [bs, num_q, 1, ppg*2] normalized [0,1].
+      sampling_offsets: [bs, num_q, heads, L*P*2] raw pixel offsets.
+      attention_weights: [bs, num_q, heads, L*P] RAW logits (softmax inside).
+      spatial_shapes: static tuple of (h, w) per level.
+      q_chunk: query-axis chunk size bounding peak memory.
+
+    Returns:
+      [bs, num_q, heads*ch] in value.dtype.
+    """
+    bs, num_keys, num_heads, ch = value.shape
+    num_q = reference_points.shape[1]
+    L = len(spatial_shapes)
+    P = attention_weights.shape[-1] // L
+    assert num_keys == sum(h * w for h, w in spatial_shapes)
+
+    weights = jax.nn.softmax(attention_weights.astype(jnp.float32), axis=-1)
+    weights = weights.reshape(bs, num_q, num_heads, L, P)
+    loc = msda_sampling_locations(
+        reference_points.astype(jnp.float32),
+        sampling_offsets.astype(jnp.float32),
+        spatial_shapes,
+        num_heads,
+    )  # [bs, q, heads, L, P, 2]
+
+    starts = [0]
+    for h, w in spatial_shapes:
+        starts.append(starts[-1] + h * w)
+    value_levels = [
+        value[:, starts[i] : starts[i + 1]] for i in range(L)
+    ]  # list of [bs, HW, heads, ch]
+
+    if num_q <= q_chunk:
+        out = _msda_chunk(value_levels, weights, loc, spatial_shapes, value.dtype)
+        return out.reshape(bs, num_q, num_heads * ch)
+
+    pad = (-num_q) % q_chunk
+    if pad:
+        weights = jnp.pad(weights, ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0)))
+        loc = jnp.pad(loc, ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0), (0, 0)))
+    n_chunks = (num_q + pad) // q_chunk
+    w_chunks = weights.reshape(bs, n_chunks, q_chunk, num_heads, L, P).transpose(
+        1, 0, 2, 3, 4, 5
+    )
+    l_chunks = loc.reshape(bs, n_chunks, q_chunk, num_heads, L, P, 2).transpose(
+        1, 0, 2, 3, 4, 5, 6
+    )
+    out = jax.lax.map(
+        lambda wl: _msda_chunk(value_levels, wl[0], wl[1], spatial_shapes, value.dtype),
+        (w_chunks, l_chunks),
+    )  # [n_chunks, bs, q_chunk, heads, ch]
+    out = out.transpose(1, 0, 2, 3, 4).reshape(bs, num_q + pad, num_heads * ch)
+    return out[:, :num_q]
+
+
+def multi_scale_deformable_attn_reference(
+    value: jax.Array,
+    reference_points: jax.Array,
+    sampling_offsets: jax.Array,
+    attention_weights: jax.Array,
+    spatial_shapes: Tuple[Tuple[int, int], ...],
+) -> jax.Array:
+    """Unchunked fp32 oracle (golden-test reference; original formulation
+    with per-corner gathers — mirrors mmcv's multi_scale_deform_attn math)."""
+    bs, num_keys, num_heads, ch = value.shape
+    num_q = reference_points.shape[1]
+    L = len(spatial_shapes)
+    P = attention_weights.shape[-1] // L
+
+    cdtype = jnp.float32
+    weights = jax.nn.softmax(attention_weights.astype(cdtype), axis=-1)
+    weights = weights.reshape(bs, num_q, num_heads, L, P)
+    loc = msda_sampling_locations(
+        reference_points.astype(cdtype),
+        sampling_offsets.astype(cdtype),
+        spatial_shapes,
+        num_heads,
+    )
+
+    out = jnp.zeros((bs, num_q, num_heads, ch), cdtype)
+    start = 0
+    for lvl, (H, W) in enumerate(spatial_shapes):
+        v = value[:, start : start + H * W].astype(cdtype)
+        start += H * W
+        x = loc[..., lvl, :, 0] * W - 0.5
+        y = loc[..., lvl, :, 1] * H - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        wx1 = x - x0
+        wy1 = y - y0
+        ix0 = x0.astype(jnp.int32)
+        iy0 = y0.astype(jnp.int32)
+
+        def corner(ix, iy, w):
+            valid = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
+            idx = jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
             idxh = idx.transpose(0, 1, 3, 2).reshape(bs, num_q * P, num_heads)
             g = jnp.take_along_axis(v, idxh[..., None], axis=1)
             g = g.reshape(bs, num_q, P, num_heads, ch).transpose(0, 1, 3, 2, 4)
-            m = (w * valid).astype(cdtype)  # [bs, q, heads, P]
-            return g, m
+            return g, (w * valid).astype(cdtype)
 
         g00, m00 = corner(ix0, iy0, (1 - wx1) * (1 - wy1))
         g01, m01 = corner(ix0 + 1, iy0, wx1 * (1 - wy1))
         g10, m10 = corner(ix0, iy0 + 1, (1 - wx1) * wy1)
         g11, m11 = corner(ix0 + 1, iy0 + 1, wx1 * wy1)
 
-        wl = weights[:, :, :, lvl]  # [bs, q, heads, P]
-        taps = g00 * m00[..., None] + g01 * m01[..., None] + g10 * m10[..., None] + g11 * m11[..., None]
+        wl = weights[:, :, :, lvl]
+        taps = (
+            g00 * m00[..., None]
+            + g01 * m01[..., None]
+            + g10 * m10[..., None]
+            + g11 * m11[..., None]
+        )
         out = out + jnp.einsum("bqhpc,bqhp->bqhc", taps, wl, precision="highest")
 
     return out.reshape(bs, num_q, num_heads * ch).astype(value.dtype)

@@ -78,3 +78,34 @@ def test_msda_out_of_bounds_zero(rng):
     weights = np.zeros((bs, 3, heads, 4), np.float32)
     out = multi_scale_deformable_attn(value, ref, off, weights, spatial_shapes)
     np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-7)
+
+
+def test_msda_chunked_matches_unchunked(rng):
+    """The memory-bounded lax.map path must be bit-identical in fp32."""
+    from bevformer_tensorrt_tpu.ops import multi_scale_deformable_attn_reference
+
+    spatial_shapes = ((12, 20), (6, 10))
+    num_keys = sum(h * w for h, w in spatial_shapes)
+    value = rng.standard_normal((2, num_keys, 8, 32)).astype(np.float32)
+    ref = rng.uniform(0.05, 0.95, (2, 50, 1, 2)).astype(np.float32)
+    off = (rng.standard_normal((2, 50, 8, 2 * 4 * 2)) * 2).astype(np.float32)
+    weights = rng.standard_normal((2, 50, 8, 2 * 4)).astype(np.float32)
+    a = multi_scale_deformable_attn(value, ref, off, weights, spatial_shapes, q_chunk=16)
+    b = multi_scale_deformable_attn_reference(value, ref, off, weights, spatial_shapes)
+    assert np.abs(np.asarray(a) - np.asarray(b)).mean() < 1e-6
+
+
+def test_msda_bf16_within_fp16_delta(rng):
+    """bf16 value path stays inside the reference's fp16 plugin delta (0.01)."""
+    import jax.numpy as jnp
+
+    spatial_shapes = ((12, 20),)
+    value = rng.standard_normal((1, 240, 8, 32)).astype(np.float32)
+    ref = rng.uniform(0.05, 0.95, (1, 50, 1, 2)).astype(np.float32)
+    off = (rng.standard_normal((1, 50, 8, 8)) * 2).astype(np.float32)
+    weights = rng.standard_normal((1, 50, 8, 4)).astype(np.float32)
+    a = multi_scale_deformable_attn(
+        value.astype(jnp.bfloat16), ref, off, weights, spatial_shapes
+    )
+    b = multi_scale_deformable_attn(value, ref, off, weights, spatial_shapes)
+    assert np.abs(np.asarray(a, np.float32) - np.asarray(b, np.float32)).mean() < 0.01

@@ -1,0 +1,72 @@
+"""Continuous batching engine tests (micro model, CPU): recurrence
+correctness vs the sequential single-frame engine, and scene isolation."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from bevformer_tensorrt_tpu.configs.bevformer import bevformer_micro
+from bevformer_tensorrt_tpu.models.detectors.bevformer import BEVFormer
+from bevformer_tensorrt_tpu.runtime.engine import BEVFormerEngine
+from bevformer_tensorrt_tpu.runtime.serving import ContinuousBatchingEngine, FrameRequest
+
+
+@pytest.mark.slow
+def test_continuous_batching_matches_sequential(rng):
+    cfg = bevformer_micro(encoder_layers=1, decoder_layers=1)
+    model = BEVFormer(cfg)
+    nq = cfg.bev_h * cfg.bev_w
+    dummy = (
+        jnp.zeros((1, cfg.num_cams, 3, cfg.img_h, cfg.img_w), jnp.float32),
+        jnp.zeros((nq, 1, cfg.embed_dims), jnp.float32),
+        jnp.float32(0.0),
+        jnp.zeros(cfg.can_bus_dims, jnp.float32),
+        jnp.zeros((1, cfg.num_cams, 4, 4), jnp.float32),
+    )
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *dummy)
+
+    def make_frame(scene, t):
+        r = np.random.default_rng(scene * 10 + t)
+        l2i = np.tile(np.eye(4, dtype=np.float32), (1, cfg.num_cams, 1, 1))
+        l2i[..., 0, 0] = l2i[..., 1, 1] = cfg.img_w / 2
+        cb = r.standard_normal(18).astype(np.float32)
+        return dict(
+            image=r.standard_normal((1, cfg.num_cams, 3, cfg.img_h, cfg.img_w)).astype(np.float32),
+            can_bus=cb,
+            lidar2img=l2i.astype(np.float32),
+        )
+
+    # two scenes x two frames
+    frames = {(s, t): make_frame(s, t) for s in (0, 1) for t in (0, 1)}
+
+    # sequential oracle: one engine per scene
+    seq_out = {}
+    for s in (0, 1):
+        eng = BEVFormerEngine(model, variables, cfg, donate_prev_bev=False)
+        for t in (0, 1):
+            f = frames[(s, t)]
+            classes, coords = eng.infer_frame(f["image"], f["can_bus"], f["lidar2img"], f"scene{s}")
+            seq_out[(s, t)] = np.asarray(coords)
+
+    # batched: submit interleaved
+    cbe = ContinuousBatchingEngine(model, variables, cfg, max_scenes=4, batch=2)
+    for t in (0, 1):
+        for s in (0, 1):
+            f = frames[(s, t)]
+            cbe.submit(
+                FrameRequest(
+                    scene_id=s,
+                    image=f["image"],
+                    can_bus=f["can_bus"],
+                    lidar2img=f["lidar2img"],
+                    scene_token=f"scene{s}",
+                    tag=(s, t),
+                )
+            )
+    results = dict()
+    for tag, classes, coords in cbe.drain():
+        results[tag] = coords
+
+    assert set(results) == set(seq_out)
+    for k in seq_out:
+        np.testing.assert_allclose(results[k], seq_out[k], rtol=2e-4, atol=2e-4)

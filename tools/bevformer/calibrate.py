@@ -1,0 +1,124 @@
+"""Post-training quantization: calibrate BEVFormer and emit a scale-dict.
+
+TPU-native equivalent of tools/bevformer/onnx2trt.py --int8: runs an FP32
+pre-pass over N frames to record realistic recurrent prev_bev/use_prev_bev/
+can_bus calibration state (the reference does the same through a FP32
+engine, onnx2trt.py:168-241), then two-pass entropy/percentile/max
+calibration through the QDQ sites, saving {"quant": scales} as the artifact
+(the ".trt engine" analogue is this checkpoint + the JAX compilation cache).
+
+Usage:
+  python tools/bevformer/calibrate.py tiny --infos val.pkl --data-root ... \
+      --length 500 --method entropy --out scales.msgpack
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("model", choices=["tiny", "small", "base"])
+    ap.add_argument("--infos", required=True)
+    ap.add_argument("--data-root", default=None)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--length", type=int, default=500, help="calibration frames")
+    ap.add_argument("--method", default="entropy", choices=["max", "percentile", "entropy"])
+    ap.add_argument("--percentile", type=float, default=99.99)
+    ap.add_argument("--out", required=True)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from bevformer_tensorrt_tpu.configs import bevformer as cfgs
+    from bevformer_tensorrt_tpu.data.nuscenes import (
+        IMG_NORM_CAFFE,
+        IMG_NORM_PYTORCH,
+        NuScenesFrames,
+    )
+    from bevformer_tensorrt_tpu.models.detectors.bevformer import BEVFormer
+    from bevformer_tensorrt_tpu.quant.calibrate import calibrate
+    from bevformer_tensorrt_tpu.runtime.checkpoint import load_checkpoint, save_checkpoint
+    from bevformer_tensorrt_tpu.runtime.engine import BEVFormerEngine
+
+    cfg_fp = getattr(cfgs, f"bevformer_{args.model}")(quant=False)
+    cfg_q = getattr(cfgs, f"bevformer_{args.model}")(quant=True)
+    norm = IMG_NORM_PYTORCH if args.model == "tiny" else IMG_NORM_CAFFE
+    frames = NuScenesFrames(
+        args.infos, args.data_root, img_norm=norm, target_hw=(cfg_fp.img_h, cfg_fp.img_w)
+    )
+    n = min(args.length, len(frames))
+
+    model_fp = BEVFormer(cfg_fp)
+    nq = cfg_fp.bev_h * cfg_fp.bev_w
+    dummy = (
+        jnp.zeros((1, cfg_fp.num_cams, 3, cfg_fp.img_h, cfg_fp.img_w), jnp.float32),
+        jnp.zeros((nq, 1, cfg_fp.embed_dims), jnp.float32),
+        jnp.float32(0.0),
+        jnp.zeros(cfg_fp.can_bus_dims, jnp.float32),
+        jnp.zeros((1, cfg_fp.num_cams, 4, 4), jnp.float32),
+    )
+    variables = jax.jit(model_fp.init)(jax.random.PRNGKey(0), *dummy)
+    if args.checkpoint:
+        variables = load_checkpoint(args.checkpoint, template=variables)
+
+    # FP32 pre-pass: record realistic recurrent state per calibration frame
+    print(f"pre-pass: {n} frames", file=sys.stderr)
+    engine = BEVFormerEngine(model_fp, variables, cfg_fp, donate_prev_bev=False)
+    batches = []
+    for i in range(n):
+        f = frames.frame(i)
+        delta_can_bus, use_prev = engine.state.step_can_bus(f.can_bus, f.scene_token)
+        prev_bev = (
+            engine.state.prev_bev
+            if engine.state.prev_bev is not None
+            else jnp.zeros((nq, 1, cfg_fp.embed_dims), jnp.float32)
+        )
+        batches.append(
+            dict(
+                image=f.image,
+                prev_bev=np.asarray(prev_bev),
+                use_prev_bev=np.float32(use_prev),
+                can_bus=delta_can_bus,
+                lidar2img=f.lidar2img,
+            )
+        )
+        bev_embed, _, _ = engine._apply(
+            variables, f.image, prev_bev, jnp.float32(use_prev), jnp.asarray(delta_can_bus), f.lidar2img
+        )
+        engine.state.prev_bev = bev_embed
+
+    # calibration passes through the QDQ-instrumented model
+    model_q = BEVFormer(cfg_q)
+    variables_q = jax.jit(model_q.init)(jax.random.PRNGKey(0), *dummy)
+    variables_q = {**variables_q, "params": variables["params"], "batch_stats": variables["batch_stats"]}
+
+    def apply_fn(v, batch, mutable):
+        _, mutated = model_q.apply(
+            v,
+            batch["image"],
+            batch["prev_bev"],
+            batch["use_prev_bev"],
+            batch["can_bus"],
+            batch["lidar2img"],
+            mutable=mutable,
+        )
+        return mutated
+
+    print(f"calibration: method={args.method}", file=sys.stderr)
+    quant_vars, result = calibrate(
+        apply_fn, variables_q, batches, method=args.method, percentile=args.percentile
+    )
+    save_checkpoint(args.out, quant_vars)
+    print(f"saved {len(result.scales)} scales -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,106 @@
+"""Evaluate BEVFormer on nuScenes (NDS/mAP + FPS).
+
+TPU-native equivalent of tools/bevformer/evaluate_pth.py and
+evaluate_trt.py in the reference (same temporal state machine and FPS
+convention; one compiled graph instead of a TRT engine).
+
+Usage:
+  python tools/bevformer/evaluate.py tiny --infos <nuscenes_infos_val.pkl> \
+      --data-root data/nuscenes [--checkpoint ckpt.msgpack] [--dtype bfloat16] \
+      [--limit N]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("model", choices=["tiny", "small", "base"])
+    ap.add_argument("--infos", required=True)
+    ap.add_argument("--data-root", default=None)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--quant-scales", default=None, help="PTQ scale-dict checkpoint")
+    ap.add_argument("--limit", type=int, default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from bevformer_tensorrt_tpu.configs import bevformer as cfgs
+    from bevformer_tensorrt_tpu.core.nms_free_coder import NMSFreeCoder
+    from bevformer_tensorrt_tpu.data.nuscenes import (
+        IMG_NORM_CAFFE,
+        IMG_NORM_PYTORCH,
+        NuScenesFrames,
+    )
+    from bevformer_tensorrt_tpu.evalsuite import (
+        detections_to_eval_boxes,
+        evaluate_nuscenes,
+        gt_to_eval_boxes,
+    )
+    from bevformer_tensorrt_tpu.models.detectors.bevformer import BEVFormer
+    from bevformer_tensorrt_tpu.runtime.checkpoint import load_checkpoint
+    from bevformer_tensorrt_tpu.runtime.engine import BEVFormerEngine
+
+    cfg = getattr(cfgs, f"bevformer_{args.model}")(
+        dtype=args.dtype, quant=args.quant_scales is not None
+    )
+    model = BEVFormer(cfg)
+    norm = IMG_NORM_PYTORCH if args.model == "tiny" else IMG_NORM_CAFFE
+    frames = NuScenesFrames(
+        args.infos, args.data_root, img_norm=norm, target_hw=(cfg.img_h, cfg.img_w)
+    )
+
+    nq = cfg.bev_h * cfg.bev_w
+    dummy = (
+        jnp.zeros((1, cfg.num_cams, 3, cfg.img_h, cfg.img_w), jnp.float32),
+        jnp.zeros((nq, 1, cfg.embed_dims), jnp.float32),
+        jnp.float32(0.0),
+        jnp.zeros(cfg.can_bus_dims, jnp.float32),
+        jnp.zeros((1, cfg.num_cams, 4, 4), jnp.float32),
+    )
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *dummy)
+    if args.checkpoint:
+        variables = load_checkpoint(args.checkpoint, template=variables)
+    if args.quant_scales:
+        scales = load_checkpoint(args.quant_scales)
+        variables = {**variables, "quant": scales["quant"]}
+
+    engine = BEVFormerEngine(model, variables, cfg)
+    coder = NMSFreeCoder(num_classes=cfg.num_classes)
+
+    gt_boxes_all, pred_boxes_all = [], []
+    latencies = []
+    n = len(frames) if args.limit is None else min(args.limit, len(frames))
+    for i in range(n):
+        f = frames.frame(i)
+        t0 = time.perf_counter()
+        classes, coords = engine.infer_frame(f.image, f.can_bus, f.lidar2img, f.scene_token)
+        det = coder.decode(np.asarray(classes), np.asarray(coords))[0]
+        latencies.append(time.perf_counter() - t0)
+        pred_boxes_all += detections_to_eval_boxes(f.sample_token, det)
+        gt_boxes_all += gt_to_eval_boxes(f.sample_token, f.gt_boxes, f.gt_labels)
+        if i % 100 == 0:
+            print(f"[{i}/{n}]", file=sys.stderr)
+
+    metrics = evaluate_nuscenes(gt_boxes_all, pred_boxes_all, verbose=True)
+    # FPS excluding first/last frame (reference convention,
+    # tools/bevformer/evaluate_trt.py:166-168)
+    lat = latencies[1:-1] if len(latencies) > 2 else latencies
+    metrics["fps"] = 1.0 / float(np.mean(lat))
+    metrics["latency_ms"] = float(np.mean(lat) * 1e3)
+    print(json.dumps({k: round(float(v), 4) for k, v in metrics.items()}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,137 @@
+"""Train / QAT-finetune BEVFormer on a device mesh.
+
+TPU-native equivalent of tools/bevformer/train.py + apis/mmdet_train.py in
+the reference (DDP+NCCL replaced by one pjit-compiled train step over a
+dp x tp `jax.sharding.Mesh`; QAT = --quant-scales, mirroring the reference's
+1-epoch fine-tune with fake-quant, samples/bevformer/base/quant_aware_train.sh).
+
+Usage:
+  python tools/bevformer/train.py tiny --infos train.pkl --data-root ... \
+      --steps 1000 [--lr 2e-4] [--quant-scales scales.msgpack] [--out ckpt.msgpack]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+import numpy as np
+
+MAX_GT = 64
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("model", choices=["micro", "tiny", "small", "base"])
+    ap.add_argument("--infos", required=True)
+    ap.add_argument("--data-root", default=None)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--quant-scales", default=None, help="enable QAT with these scales")
+    ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--out", default="checkpoints/bevformer.msgpack")
+    ap.add_argument("--log-every", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from bevformer_tensorrt_tpu.configs import bevformer as cfgs
+    from bevformer_tensorrt_tpu.data.nuscenes import (
+        IMG_NORM_CAFFE,
+        IMG_NORM_PYTORCH,
+        NuScenesFrames,
+    )
+    from bevformer_tensorrt_tpu.models.detectors.bevformer import BEVFormer
+    from bevformer_tensorrt_tpu.parallel import make_mesh, param_shardings
+    from bevformer_tensorrt_tpu.runtime.checkpoint import load_checkpoint, save_checkpoint
+    from bevformer_tensorrt_tpu.train import (
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    qat = args.quant_scales is not None
+    cfg = getattr(cfgs, f"bevformer_{args.model}")(quant=qat)
+    model = BEVFormer(cfg)
+    norm = IMG_NORM_PYTORCH if args.model in ("tiny", "micro") else IMG_NORM_CAFFE
+    frames = NuScenesFrames(
+        args.infos, args.data_root, img_norm=norm, target_hw=(cfg.img_h, cfg.img_w)
+    )
+
+    mesh = make_mesh()
+    dp = mesh.shape["dp"]
+    print(f"mesh: dp{dp} x tp{mesh.shape['tp']}", file=sys.stderr)
+
+    # QAT uses the reference's recipe: tiny lr (1e-6), 1 epoch
+    # (configs/bevformer/bevformer_base_trt_q.py:64-78)
+    lr = 1e-6 if qat else args.lr
+    tx = make_optimizer(learning_rate=lr, total_steps=args.steps)
+    params, batch_stats, opt_state = init_train_state(model, jax.random.PRNGKey(0), cfg, tx)
+    if args.checkpoint:
+        ckpt = load_checkpoint(
+            args.checkpoint, template={"params": params, "batch_stats": batch_stats}
+        )
+        params, batch_stats = ckpt["params"], ckpt["batch_stats"]
+
+    p_shard = param_shardings(mesh, params)
+    params = jax.device_put(params, p_shard)
+    step_fn = jax.jit(make_train_step(model, cfg.num_classes, tx), donate_argnums=(0, 2))
+
+    def data_shardings(tree):
+        return jax.tree.map(
+            lambda x: NamedSharding(mesh, P("dp", *([None] * (np.ndim(x) - 1)))), tree
+        )
+
+    def batch_iter():
+        idx = np.arange(len(frames))
+        rng = np.random.default_rng(0)
+        while True:
+            rng.shuffle(idx)
+            for s in range(0, len(idx) - dp + 1, dp):
+                imgs, cbs, l2is, gbs, gls = [], [], [], [], []
+                for i in idx[s : s + dp]:
+                    f = frames.frame(int(i))
+                    gb = np.zeros((MAX_GT, 9), np.float32)
+                    gl = np.full(MAX_GT, -1, np.int32)
+                    k = min(len(f.gt_labels), MAX_GT)
+                    gb[:k] = f.gt_boxes[:k]
+                    gl[:k] = f.gt_labels[:k]
+                    imgs.append(f.image[0])
+                    cbs.append(f.can_bus)
+                    l2is.append(f.lidar2img)
+                    gbs.append(gb)
+                    gls.append(gl)
+                yield {
+                    "image": np.stack(imgs),
+                    "can_bus": np.stack(cbs),
+                    "lidar2img": np.stack(l2is),
+                    "gt_boxes": np.stack(gbs),
+                    "gt_labels": np.stack(gls),
+                }
+
+    it = batch_iter()
+    t0 = time.perf_counter()
+    for step in range(args.steps):
+        batch = next(it)
+        batch = jax.device_put(batch, data_shardings(batch))
+        params, opt_state, metrics = step_fn(params, batch_stats, opt_state, batch)
+        if step % args.log_every == 0:
+            loss = float(metrics["loss"])
+            dt = time.perf_counter() - t0
+            print(
+                f"step {step}: loss {loss:.4f} cls {float(metrics['loss_cls']):.4f} "
+                f"bbox {float(metrics['loss_bbox']):.4f} ({dt / (step + 1):.2f}s/step)",
+                file=sys.stderr,
+            )
+
+    save_checkpoint(args.out, {"params": params, "batch_stats": batch_stats})
+    print(f"saved -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()
