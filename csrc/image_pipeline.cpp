@@ -1,0 +1,48 @@
+// Multi-view image preprocessing hot loop (native, multi-threaded).
+//
+// TPU-native replacement for the reference's per-frame host work
+// (mmcv NormalizeMultiviewImage + PadMultiViewImage + HWC->CHW packing in
+// third_party/bev_mmdet3d/datasets/pipelines): for 6 cameras at 1600x900
+// the numpy version costs tens of ms per frame on one core — enough to
+// starve a TPU that finishes the frame in a few ms.  This kernel fuses
+// BGR->RGB select, mean/std normalize, bottom/right pad and HWC->CHW
+// transpose in one multi-threaded pass.
+//
+// Build: g++ -O3 -march=native -fopenmp -shared -fPIC -o libimage_pipeline.so image_pipeline.cpp
+#include <cstdint>
+#include <cstring>
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+extern "C" {
+
+// src: [n_imgs, h, w, 3] uint8 (BGR); dst: [n_imgs, 3, out_h, out_w] float32
+// (zero-padded bottom/right). mean/std are per-channel of the *source* order
+// after optional BGR->RGB swap (to_rgb != 0).
+void normalize_pad_chw(const uint8_t* src, float* dst, int64_t n_imgs,
+                       int64_t h, int64_t w, int64_t out_h, int64_t out_w,
+                       const float* mean, const float* std_, int to_rgb) {
+  const float inv_std[3] = {1.0f / std_[0], 1.0f / std_[1], 1.0f / std_[2]};
+#pragma omp parallel for collapse(2) schedule(static)
+  for (int64_t img = 0; img < n_imgs; img++) {
+    for (int64_t c = 0; c < 3; c++) {
+      const int64_t src_c = to_rgb ? 2 - c : c;  // BGR source -> RGB select
+      const uint8_t* s = src + img * h * w * 3;
+      float* d = dst + (img * 3 + c) * out_h * out_w;
+      for (int64_t y = 0; y < out_h; y++) {
+        if (y < h) {
+          const uint8_t* row = s + y * w * 3 + src_c;
+          float* drow = d + y * out_w;
+          for (int64_t x = 0; x < w; x++)
+            drow[x] = ((float)row[x * 3] - mean[c]) * inv_std[c];
+          if (out_w > w) std::memset(drow + w, 0, sizeof(float) * (out_w - w));
+        } else {
+          std::memset(d + y * out_w, 0, sizeof(float) * out_w);
+        }
+      }
+    }
+  }
+}
+
+}  // extern "C"
