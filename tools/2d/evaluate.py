@@ -1,0 +1,125 @@
+"""Evaluate the 2D family (YOLOX / CenterNet) on COCO (mAP + FPS).
+
+TPU-native equivalent of tools/2d/evaluate_{pth,trt}.py in the reference
+(batch-N inference, configs/yolox/yolox_x_8x8_300e_coco_trt.py:32-44).
+
+Usage:
+  python tools/2d/evaluate.py yolox_x --ann instances_val2017.json \
+      --img-root val2017 [--batch 32] [--limit N]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("model", choices=["yolox_x", "yolox_s", "centernet_r18"])
+    ap.add_argument("--ann", required=True)
+    ap.add_argument("--img-root", required=True)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--limit", type=int, default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from bevformer_tensorrt_tpu.data.coco import CocoDataset
+    from bevformer_tensorrt_tpu.evalsuite import evaluate_coco_map
+    from bevformer_tensorrt_tpu.runtime.checkpoint import load_checkpoint
+
+    if args.model.startswith("yolox"):
+        from bevformer_tensorrt_tpu.configs import yolox as ycfg
+        from bevformer_tensorrt_tpu.models.detectors.yolox import YOLOX
+        from bevformer_tensorrt_tpu.models.heads.yolox_head import (
+            yolox_decode,
+            yolox_post_process,
+        )
+
+        cfg = getattr(ycfg, args.model)(dtype=args.dtype)
+        model = YOLOX(cfg)
+        ds = CocoDataset(args.ann, args.img_root, img_size=cfg.img_size)
+
+        def infer(variables, imgs):
+            outs = model.apply(variables, imgs)
+            return yolox_decode(outs)
+
+        def post(decoded, i, sample):
+            boxes, scores = decoded
+            b, s, l = yolox_post_process(
+                np.asarray(boxes[i]), np.asarray(scores[i]),
+                cfg.score_thr, cfg.nms_iou, cfg.max_per_img,
+            )
+            return b / sample.scale, s, l
+    else:
+        from bevformer_tensorrt_tpu.configs.centernet import centernet_r18
+        from bevformer_tensorrt_tpu.models.detectors.centernet import CenterNet
+        from bevformer_tensorrt_tpu.models.heads.centernet_head import centernet_decode
+
+        cfg = centernet_r18(dtype=args.dtype)
+        model = CenterNet(cfg)
+        ds = CocoDataset(
+            args.ann, args.img_root, img_size=cfg.img_size,
+            mean=(123.675, 116.28, 103.53), std=(58.395, 57.12, 57.375), to_rgb=True,
+        )
+
+        def infer(variables, imgs):
+            heads = model.apply(variables, imgs)
+            return centernet_decode(heads, k=cfg.topk, kernel=cfg.local_max_kernel)
+
+        def post(decoded, i, sample):
+            boxes, scores, labels = decoded
+            keep = np.asarray(scores[i]) > 0.01
+            return (
+                np.asarray(boxes[i])[keep] / sample.scale,
+                np.asarray(scores[i])[keep],
+                np.asarray(labels[i])[keep],
+            )
+
+    B = args.batch
+    imgs0 = jnp.zeros((B, 3, cfg.img_size, cfg.img_size), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), imgs0)
+    if args.checkpoint:
+        variables = load_checkpoint(args.checkpoint, template=variables)
+    infer_jit = jax.jit(infer)
+
+    n = len(ds) if args.limit is None else min(args.limit, len(ds))
+    gt_all, pred_all = [], []
+    lat = []
+    for s in range(0, n, B):
+        samples = [ds.sample(i) for i in range(s, min(s + B, n))]
+        batch = np.zeros((B, 3, cfg.img_size, cfg.img_size), np.float32)
+        for i, sm in enumerate(samples):
+            batch[i] = sm.image
+        t0 = time.perf_counter()
+        decoded = infer_jit(variables, jnp.asarray(batch))
+        jax.tree.leaves(decoded)[0].block_until_ready()
+        np.asarray(jax.tree.leaves(decoded)[0].ravel()[0])
+        lat.append((time.perf_counter() - t0) / len(samples))
+        for i, sm in enumerate(samples):
+            b, sc, l = post(decoded, i, sm)
+            gt_all += sm.gt
+            pred_all += [
+                {"image_id": sm.image_id, "category_id": int(li), "bbox": bi.tolist(), "score": float(si)}
+                for bi, si, li in zip(b, sc, l)
+            ]
+
+    num_classes = cfg.num_classes
+    metrics = evaluate_coco_map(gt_all, pred_all, num_classes)
+    l = lat[1:] if len(lat) > 1 else lat
+    metrics["fps"] = 1.0 / float(np.mean(l))
+    print(json.dumps({k: round(float(v), 4) for k, v in metrics.items()}))
+
+
+if __name__ == "__main__":
+    main()

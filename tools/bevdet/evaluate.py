@@ -1,0 +1,100 @@
+"""Evaluate BEVDet on nuScenes (NDS/mAP + FPS).
+
+TPU-native equivalent of tools/bevdet/evaluate_{pth,trt}.py in the
+reference: rank tensors come precomputed from the camera rig (the engine
+bakes one rig's ranks, tools/bevdet/pth2onnx.py:60-97).
+
+Usage:
+  python tools/bevdet/evaluate.py --infos val.pkl --data-root ... \
+      [--checkpoint ckpt.msgpack] [--limit N]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--infos", required=True)
+    ap.add_argument("--data-root", default=None)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument("--ranks-pad", type=int, default=400000)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from bevformer_tensorrt_tpu.configs.bevdet import bevdet_r50
+    from bevformer_tensorrt_tpu.data.nuscenes import IMG_NORM_PYTORCH, NuScenesFrames
+    from bevformer_tensorrt_tpu.evalsuite import (
+        detections_to_eval_boxes,
+        evaluate_nuscenes,
+        gt_to_eval_boxes,
+    )
+    from bevformer_tensorrt_tpu.models.detectors.bevdet import BEVDet
+    from bevformer_tensorrt_tpu.models.heads.centerpoint_head import centerpoint_post_process
+    from bevformer_tensorrt_tpu.models.necks.view_transformer import (
+        get_lidar_coor,
+        voxel_pooling_prepare,
+    )
+    from bevformer_tensorrt_tpu.runtime.checkpoint import load_checkpoint
+
+    cfg = bevdet_r50(dtype=args.dtype)
+    model = BEVDet(cfg)
+    frames = NuScenesFrames(
+        args.infos, args.data_root, img_norm=IMG_NORM_PYTORCH,
+        target_hw=(cfg.input_h, cfg.input_w),
+    )
+
+    # ranks from the first frame's rig (reference bakes one sample's ranks)
+    info0 = frames.infos[0]
+    cams = list(info0["cams"].values())
+    s2e = np.stack([
+        np.block([
+            [np.asarray(c["sensor2lidar_rotation"], np.float64), np.asarray(c["sensor2lidar_translation"], np.float64)[:, None]],
+            [np.zeros((1, 3)), np.ones((1, 1))],
+        ])
+        for c in cams
+    ]).astype(np.float32)
+    intr = np.stack([np.asarray(c["cam_intrinsic"], np.float32) for c in cams])
+    coor = get_lidar_coor(cfg, s2e, intr)
+    ranks = voxel_pooling_prepare(cfg, coor, pad_to=args.ranks_pad)
+    rd, rf, rb = (jnp.asarray(ranks.ranks_depth), jnp.asarray(ranks.ranks_feat), jnp.asarray(ranks.ranks_bev))
+
+    dummy = jnp.zeros((1, cfg.num_cams, 3, cfg.input_h, cfg.input_w), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), dummy, rd, rf, rb)
+    if args.checkpoint:
+        variables = load_checkpoint(args.checkpoint, template=variables)
+
+    apply_fn = jax.jit(lambda v, img: model.apply(v, img, rd, rf, rb))
+
+    gt_all, pred_all = [], []
+    lat = []
+    n = len(frames) if args.limit is None else min(args.limit, len(frames))
+    for i in range(n):
+        f = frames.frame(i)
+        t0 = time.perf_counter()
+        heads = apply_fn(variables, jnp.asarray(f.image))
+        det = centerpoint_post_process(cfg, heads)
+        lat.append(time.perf_counter() - t0)
+        pred_all += detections_to_eval_boxes(f.sample_token, det)
+        gt_all += gt_to_eval_boxes(f.sample_token, f.gt_boxes, f.gt_labels)
+
+    metrics = evaluate_nuscenes(gt_all, pred_all, verbose=True)
+    l = lat[1:-1] if len(lat) > 2 else lat
+    metrics["fps"] = 1.0 / float(np.mean(l))
+    print(json.dumps({k: round(float(v), 4) for k, v in metrics.items()}))
+
+
+if __name__ == "__main__":
+    main()
