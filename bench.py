@@ -33,6 +33,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="base", choices=["tiny", "small", "base", "micro"])
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    ap.add_argument("--quant", default="none", choices=["none", "qdq", "int8"],
+                    help="int8: real int8 matmuls/convs with max-calibrated scales")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--warmup", type=int, default=3)
     args = ap.parse_args()
@@ -54,7 +56,8 @@ def main():
         log("no accelerator — falling back to tiny")
         args.model = "tiny"
 
-    cfg = getattr(cfgs, f"bevformer_{args.model}")(dtype=args.dtype)
+    quant = {"none": False, "qdq": True, "int8": "int8"}[args.quant]
+    cfg = getattr(cfgs, f"bevformer_{args.model}")(dtype=args.dtype, quant=quant)
     model = BEVFormer(cfg)
     nq = cfg.bev_h * cfg.bev_w
 
@@ -76,6 +79,24 @@ def main():
     )
     jax.block_until_ready(variables)
     log(f"init: {time.perf_counter() - t0:.1f}s")
+
+    if args.quant != "none":
+        # max-calibrate activation scales from one batch (random weights —
+        # timing-representative; real deployments load calibrated scales)
+        t0 = time.perf_counter()
+        _, mut = jax.jit(
+            lambda v, *a: model.apply(v, *a, mutable=["amax_stats"])
+        )(variables, image, prev_bev, jnp.float32(1.0), can_bus, lidar2img)
+        amax = mut["amax_stats"]
+        quant_col = jax.tree.map(lambda a: jnp.maximum(a, 1e-6) / 127.0, amax)
+        quant_col = jax.tree_util.tree_map_with_path(lambda p, x: x, quant_col)
+        # rename leaf 'amax' -> 'scale'
+        from flax import traverse_util
+
+        flat = traverse_util.flatten_dict(quant_col)
+        flat = {p[:-1] + ("scale",): v for p, v in flat.items()}
+        variables = {**variables, "quant": traverse_util.unflatten_dict(flat)}
+        log(f"calibration (max, 1 batch): {time.perf_counter() - t0:.1f}s")
 
     @jax.jit
     def apply_fn(v, image, prev_bev, use_prev, can_bus, l2i):
@@ -108,7 +129,9 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"bevformer_{args.model}_{args.dtype}_fps",
+                "metric": f"bevformer_{args.model}_{args.dtype}"
+                + ("" if args.quant == "none" else f"_{args.quant}")
+                + "_fps",
                 "value": round(fps, 3),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / baseline, 3),

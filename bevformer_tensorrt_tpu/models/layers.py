@@ -21,25 +21,38 @@ from ..quant.qdq import QDQ
 
 class WeightFakeQuant(nn.Module):
     """Per-output-channel weight fake-quant (scale derived from the weight
-    itself, like pytorch-quantization's per-channel max weight quantizers).
-    Active only when the model is applied with a "quant" collection."""
+    itself, like pytorch-quantization's per-channel max weight quantizers
+    which are always enabled on Q-layers).  Constructed only when the layer
+    has quant sites, so plain-fp models never see it."""
 
     channel_axis: int = -1
 
     @nn.compact
     def __call__(self, w):
-        flag = self.variable("quant", "w8", lambda: jnp.zeros((), jnp.float32))
-        if self.is_initializing() or not self.has_variable("quant", "w8"):
+        if self.is_initializing():
             return w
-        del flag
         axis = self.channel_axis % w.ndim
         return fake_quant(w, per_channel_scale(w, axis=axis))
 
 
 class QDense(nn.Module):
+    """Dense with quantization sites.
+
+    quant (shared convention for all Q-layers):
+      False  — plain fp layer.
+      True   — QDQ fake-quant sites (PTQ-sim & QAT; reference's
+               pytorch-quantization semantics).
+      'int8' — REAL int8 execution: activation quantized with the calibrated
+               per-tensor scale, weight per-channel int8, MXU int8 matmul
+               accumulating int32, fused dequant (the reference plugins'
+               INT8 path, e.g. multiScaleDeformableAttnKernel.cu:849-956).
+               Requires the "quant" collection (calibration scales); falls
+               back to fake-quant when absent.
+    """
+
     features: int
     use_bias: bool = True
-    quant: bool = False
+    quant: bool | str = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -48,7 +61,24 @@ class QDense(nn.Module):
             "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features), jnp.float32
         )
         if self.quant:
-            x = QDQ(name="qdq_in")(x)
+            x_scaled, s_in = QDQ(name="qdq_in", with_scale=True)(x)
+            if self.quant == "int8" and s_in is not None:
+                # real int8 path: quantize with the calibrated scale
+                xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_in), -127, 127).astype(jnp.int8)
+                w_scale = jnp.max(jnp.abs(kernel), axis=0) / 127.0 + 1e-12
+                wq = jnp.clip(
+                    jnp.round(kernel / w_scale[None, :]), -127, 127
+                ).astype(jnp.int8)
+                acc = jax.lax.dot_general(
+                    xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                y = acc.astype(jnp.float32) * (s_in * w_scale)
+                if self.use_bias:
+                    bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+                    y = y + bias
+                return y.astype(x.dtype)
+            x = x_scaled
             kernel = WeightFakeQuant(channel_axis=1, name="wq")(kernel)
         dtype = self.dtype or x.dtype
         y = jnp.dot(x.astype(dtype), kernel.astype(dtype))
@@ -59,13 +89,15 @@ class QDense(nn.Module):
 
 
 class QConv(nn.Module):
+    """Conv with quantization sites; `quant` convention as QDense."""
+
     features: int
     kernel_size: Tuple[int, int] = (3, 3)
     strides: Tuple[int, int] = (1, 1)
     padding: str | int | Tuple = "SAME"
     use_bias: bool = True
     feature_group_count: int = 1
-    quant: bool = False
+    quant: bool | str = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -81,7 +113,29 @@ class QConv(nn.Module):
             jnp.float32,
         )
         if self.quant:
-            x = QDQ(name="qdq_in")(x)
+            x_scaled, s_in = QDQ(name="qdq_in", with_scale=True)(x)
+            if self.quant == "int8" and s_in is not None:
+                # real int8 conv: MXU int8 with int32 accumulate
+                xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_in), -127, 127).astype(jnp.int8)
+                w_scale = (
+                    jnp.max(jnp.abs(kernel), axis=(0, 1, 2)) / 127.0 + 1e-12
+                )
+                wq = jnp.clip(jnp.round(kernel / w_scale), -127, 127).astype(jnp.int8)
+                acc = jax.lax.conv_general_dilated(
+                    xq,
+                    wq,
+                    window_strides=self.strides,
+                    padding=pad,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    feature_group_count=self.feature_group_count,
+                    preferred_element_type=jnp.int32,
+                )
+                y = acc.astype(jnp.float32) * (s_in * w_scale)
+                if self.use_bias:
+                    bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+                    y = y + bias
+                return y.astype(x.dtype)
+            x = x_scaled
             kernel = WeightFakeQuant(channel_axis=3, name="wq")(kernel)
         dtype = self.dtype or x.dtype
         y = jax.lax.conv_general_dilated(

@@ -23,21 +23,26 @@ from .observers import NUM_BINS, update_amax, update_histogram
 
 class QDQ(nn.Module):
     enabled: bool = True
+    with_scale: bool = False  # return (y, scale-or-None) instead of y
 
     @nn.compact
     def __call__(self, x):
+        def ret(y, scale=None):
+            return (y, scale) if self.with_scale else y
+
         if not self.enabled:
-            return x
+            return ret(x)
         if self.is_mutable_collection("amax_stats"):
             amax = self.variable("amax_stats", "amax", lambda: jnp.zeros((), jnp.float32))
             if not self.is_initializing():
                 amax.value = update_amax(amax.value, x)
-            return x
+            return ret(x)
         if self.is_mutable_collection("hist_stats"):
             hist = self.variable("hist_stats", "hist", lambda: jnp.zeros((NUM_BINS,), jnp.float32))
             amax = self.get_variable("amax_stats", "amax")
             hist.value = update_histogram(hist.value, x, amax)
-            return x
+            return ret(x)
         if self.has_variable("quant", "scale"):
-            return fake_quant(x, self.get_variable("quant", "scale"))
-        return x
+            scale = self.get_variable("quant", "scale")
+            return ret(fake_quant(x, scale), scale)
+        return ret(x)
