@@ -51,8 +51,12 @@ class BEVFormerConfig:
     dcn_stages: Tuple[bool, ...] = (False, False, True, True)
     # deploy
     dtype: str = "float32"  # compute dtype for backbone/attention matmuls
-    quant: bool = False     # insert QDQ sites (PTQ/QAT)
+    quant: bool = False     # False | True (QDQ sim) | 'int8' (real int8)
     msda_impl: str = "auto"  # 'jnp' | 'pallas' | 'auto'
+    # per-camera query budget for spatial cross-attention (fraction of BEV
+    # queries gathered per camera; 1.0 disables compaction).  Exact as long
+    # as every camera sees fewer than budget*nq queries.
+    cam_budget: float = 0.5
 
     @property
     def grid_length(self) -> Tuple[float, float]:

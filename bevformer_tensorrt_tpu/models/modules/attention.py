@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ...ops import multi_scale_deformable_attn, multi_head_attention
@@ -86,47 +87,87 @@ class TemporalSelfAttention(nn.Module):
 class MSDeformableAttention3D(nn.Module):
     """Per-camera deformable attention over multi-level image features
     (reference spatial_cross_attention.py:277-768, TRTP path).  No output
-    projection / residual — SpatialCrossAttention owns those."""
+    projection / residual — SpatialCrossAttention owns those.
+
+    TPU-first restructure vs the reference: offsets/weights are computed
+    ONCE from the BEV query (the reference broadcasts the same query to all
+    cameras, so its per-camera projections are redundant), and a static
+    per-camera query budget compacts the gather work to the queries each
+    camera can actually see (top-K by bev_mask; unselected queries have
+    mask 0 and contribute exactly 0 — the reference's dynamic `max_len`
+    rebatching, spatial_cross_attention.py:201-231, with a static shape).
+    """
 
     embed_dims: int = 256
     num_heads: int = 8
     num_levels: int = 4
     num_points: int = 8
+    cam_budget: float = 0.5  # fraction of queries processed per camera
     quant: bool = False
 
     @nn.compact
     def __call__(
         self,
-        query,             # [num_cams, Nq, C]
-        value,             # [num_cams, num_keys, C]
-        reference_points,  # [num_cams, Nq, 1, ppg*2]  (ppg = pillar points)
+        query,                 # [1, Nq, C]
+        value,                 # [num_cams, num_keys, C]
+        reference_points_cam,  # [num_cams, Nq, ppg*2]
+        bev_mask,              # [num_cams, Nq, 1] normalized weights
         spatial_shapes: Tuple[Tuple[int, int], ...],
     ):
         C, H = self.embed_dims, self.num_heads
-        cams, nq = query.shape[:2]
+        cams, nq = reference_points_cam.shape[:2]
         L, P = self.num_levels, self.num_points
 
         v = QDense(C, quant=self.quant, name="value_proj")(value)
         v = v.reshape(cams, -1, H, C // H)
         off = QDense(H * L * P * 2, quant=self.quant, name="sampling_offsets")(query)
         attn = QDense(H * L * P, quant=self.quant, name="attention_weights")(query)
-        off = off.reshape(cams, nq, H, L * P * 2)
-        attn = attn.reshape(cams, nq, H, L * P)
-        return multi_scale_deformable_attn(v, reference_points, off, attn, spatial_shapes)
+        off = off.reshape(nq, H, L * P * 2)
+        attn = attn.reshape(nq, H, L * P)
+
+        K = min(nq, -(-int(nq * self.cam_budget) // 128) * 128)
+        if K < nq:
+            mask_flat = bev_mask.reshape(cams, nq)
+            topv, topi = jax.lax.top_k(mask_flat, K)  # [cams, K]
+            ref_c = jnp.take_along_axis(
+                reference_points_cam, topi[..., None], axis=1
+            ).reshape(cams, K, 1, -1)
+            off_c = off[topi]     # [cams, K, H, L*P*2]
+            attn_c = attn[topi]   # [cams, K, H, L*P]
+            out_k = multi_scale_deformable_attn(
+                v, ref_c, off_c, attn_c, spatial_shapes
+            )  # [cams, K, C]
+            weighted = out_k * topv[..., None]
+            slots = (
+                jnp.zeros((nq, C), out_k.dtype)
+                .at[topi.reshape(-1)]
+                .add(weighted.reshape(-1, C), mode="drop")
+            )
+            return slots[None]
+        ref = reference_points_cam.reshape(cams, nq, 1, -1)
+        out = multi_scale_deformable_attn(
+            v,
+            ref,
+            jnp.broadcast_to(off[None], (cams, nq, H, L * P * 2)),
+            jnp.broadcast_to(attn[None], (cams, nq, H, L * P)),
+            spatial_shapes,
+        )
+        return (out * bev_mask).sum(axis=0, keepdims=True)
 
 
 class SpatialCrossAttention(nn.Module):
     """Camera-folded spatial cross-attention (reference
-    spatial_cross_attention.py:181-273, TRTP path): broadcast the BEV query
-    to every camera, run MSDA3D per camera, then combine with the normalized
-    bev_mask weights (hit-count normalization folded into the mask by the
-    encoder's point_sampling — encoder.py:256-258)."""
+    spatial_cross_attention.py:181-273, TRTP path): per-camera MSDA3D
+    combined with the normalized bev_mask weights (hit-count normalization
+    folded into the mask by the encoder's point_sampling —
+    encoder.py:256-258)."""
 
     embed_dims: int = 256
     num_cams: int = 6
     num_heads: int = 8
     num_levels: int = 4
     num_points: int = 8
+    cam_budget: float = 0.5
     quant: bool = False
 
     @nn.compact
@@ -144,18 +185,16 @@ class SpatialCrossAttention(nn.Module):
         if query_pos is not None:
             query = query + query_pos
 
-        q = jnp.broadcast_to(query, (self.num_cams, query.shape[1], self.embed_dims))
-        ref = reference_points_cam.reshape(self.num_cams, query.shape[1], 1, -1)
-        queries = MSDeformableAttention3D(
+        slots = MSDeformableAttention3D(
             embed_dims=self.embed_dims,
             num_heads=self.num_heads,
             num_levels=self.num_levels,
             num_points=self.num_points,
+            cam_budget=self.cam_budget,
             quant=self.quant,
             name="deformable_attention",
-        )(q, value, ref, spatial_shapes)
+        )(query, value, reference_points_cam, bev_mask, spatial_shapes)
 
-        slots = (queries * bev_mask).sum(axis=0, keepdims=True)
         slots = QDense(self.embed_dims, quant=self.quant, name="output_proj")(slots)
         return slots + inp_residual
 

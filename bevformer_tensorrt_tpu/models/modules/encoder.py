@@ -132,6 +132,7 @@ class BEVFormerLayer(nn.Module):
             num_heads=cfg.num_heads,
             num_levels=cfg.num_levels,
             num_points=cfg.num_points_cross,
+            cam_budget=cfg.cam_budget,
             quant=cfg.quant,
             name="cross_attn",
         )(

@@ -61,15 +61,30 @@ def msda_sampling_locations(
     return loc.reshape(bs, num_q, num_heads, L, -1, 2)
 
 
+def _corner_pack(v, H, W):
+    """[bs, HW, heads, ch] -> [bs, HW, heads, 4*ch] with the 4 bilinear
+    corner rows (k, k+1, k+W, k+W+1) packed per key.
+
+    One gather index then fetches all 4 corners (the gather is index-rate
+    bound on TPU — ~60 M rows/s regardless of row size — so 4x fewer
+    indices ~= 4x faster).  Wrap-around rows from the rolls are always
+    masked by the out-of-bounds corner weights."""
+    v01 = jnp.roll(v, -1, axis=1)
+    v10 = jnp.roll(v, -W, axis=1)
+    v11 = jnp.roll(v, -(W + 1), axis=1)
+    return jnp.concatenate([v, v01, v10, v11], axis=-1)
+
+
 def _msda_chunk(value_levels, weights, loc, spatial_shapes, out_dtype):
-    """One query chunk. value_levels: list of [bs, HW, heads, ch] (op dtype);
-    weights [bs, q, heads, L, P] fp32; loc [bs, q, heads, L, P, 2] fp32."""
+    """One query chunk. value_levels: list of corner-packed
+    [bs, HW, heads, 4*ch] (op dtype); weights [bs, q, heads, L, P] fp32;
+    loc [bs, q, heads, L, P, 2] fp32."""
     bs, num_q, num_heads = loc.shape[:3]
     P = loc.shape[4]
-    ch = value_levels[0].shape[-1]
+    ch = value_levels[0].shape[-1] // 4
     acc = jnp.zeros((bs, num_q, num_heads, ch), jnp.float32)
     for lvl, (H, W) in enumerate(spatial_shapes):
-        v = value_levels[lvl]
+        v4 = value_levels[lvl]
         # normalized [0,1] -> pixel coords (align_corners=False: loc*size-0.5)
         x = loc[..., lvl, :, 0] * W - 0.5  # [bs, q, heads, P]
         y = loc[..., lvl, :, 1] * H - 0.5
@@ -80,27 +95,41 @@ def _msda_chunk(value_levels, weights, loc, spatial_shapes, out_dtype):
         ix0 = x0.astype(jnp.int32)
         iy0 = y0.astype(jnp.int32)
 
-        def corner(ix, iy, w):
-            valid = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
-            idx = jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
-            return idx, w * valid.astype(w.dtype)
+        # clamp the 2x2 window base into the image; d in {-1, 0, 1} is the
+        # shift the clamp introduced.  True-corner weights are remapped to
+        # window slots: a corner falling outside the clamped window is
+        # always out-of-image (weight 0), so the remap is exact.
+        bx = jnp.clip(ix0, 0, max(W - 2, 0))
+        by = jnp.clip(iy0, 0, max(H - 2, 0))
+        dx = ix0 - bx
+        dy = iy0 - by
 
-        i00, m00 = corner(ix0, iy0, (1 - wx1) * (1 - wy1))
-        i01, m01 = corner(ix0 + 1, iy0, wx1 * (1 - wy1))
-        i10, m10 = corner(ix0, iy0 + 1, (1 - wx1) * wy1)
-        i11, m11 = corner(ix0 + 1, iy0 + 1, wx1 * wy1)
+        ax0 = (1 - wx1) * ((ix0 >= 0) & (ix0 < W))
+        ax1 = wx1 * ((ix0 + 1 >= 0) & (ix0 + 1 < W))
+        ay0 = (1 - wy1) * ((iy0 >= 0) & (iy0 < H))
+        ay1 = wy1 * ((iy0 + 1 >= 0) & (iy0 + 1 < H))
 
-        # ONE gather of 4P rows per (query, head): [bs, q, heads, 4P]
-        idx4 = jnp.concatenate([i00, i01, i10, i11], axis=-1)
+        def slot(d, a0, a1):
+            s0 = jnp.where(d == 0, a0, jnp.where(d == -1, a1, 0.0))
+            s1 = jnp.where(d == 0, a1, jnp.where(d == 1, a0, 0.0))
+            return s0, s1
+
+        sx0, sx1 = slot(dx, ax0, ax1)
+        sy0, sy1 = slot(dy, ay0, ay1)
+
+        idx = by * W + bx
         wl = weights[:, :, :, lvl]  # [bs, q, heads, P] fp32
-        m4 = jnp.concatenate([m00 * wl, m01 * wl, m10 * wl, m11 * wl], axis=-1)
+        m4 = jnp.stack(
+            [sx0 * sy0 * wl, sx1 * sy0 * wl, sx0 * sy1 * wl, sx1 * sy1 * wl],
+            axis=-1,
+        )  # [bs, q, heads, P, 4] — slots (k, k+1, k+W, k+W+1)
 
-        # [bs, q, heads, 4P] -> per-head gather layout [bs, q*4P, heads]
-        idxh = idx4.transpose(0, 1, 3, 2).reshape(bs, num_q * 4 * P, num_heads)
-        g = jnp.take_along_axis(v, idxh[..., None], axis=1)
-        g = g.reshape(bs, num_q, 4 * P, num_heads, ch)  # [b, q, 4P, h, c]
+        # ONE gather of P packed rows per (query, head): [bs, q*P, heads]
+        idxh = idx.transpose(0, 1, 3, 2).reshape(bs, num_q * P, num_heads)
+        g = jnp.take_along_axis(v4, idxh[..., None], axis=1)
+        g = g.reshape(bs, num_q, P, num_heads, 4, ch)  # [b, q, p, h, x, c]
         acc = acc + jnp.einsum(
-            "bqphc,bqhp->bqhc",
+            "bqphxc,bqhpx->bqhc",
             g,
             m4.astype(g.dtype),
             preferred_element_type=jnp.float32,
@@ -150,8 +179,9 @@ def multi_scale_deformable_attn(
     for h, w in spatial_shapes:
         starts.append(starts[-1] + h * w)
     value_levels = [
-        value[:, starts[i] : starts[i + 1]] for i in range(L)
-    ]  # list of [bs, HW, heads, ch]
+        _corner_pack(value[:, starts[i] : starts[i + 1]], *spatial_shapes[i])
+        for i in range(L)
+    ]  # list of [bs, HW, heads, 4*ch]
 
     if num_q <= q_chunk:
         out = _msda_chunk(value_levels, weights, loc, spatial_shapes, value.dtype)

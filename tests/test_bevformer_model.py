@@ -83,3 +83,34 @@ def test_forward_deterministic(model_and_params):
     a = model.apply(variables, image, prev_bev, jnp.float32(1.0), can_bus, lidar2img)
     b = model.apply(variables, image, prev_bev, jnp.float32(1.0), can_bus, lidar2img)
     np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
+def test_cam_budget_compaction_exact(rng):
+    """Compacted spatial cross-attention must equal the full path when every
+    camera's visible-query count fits the budget."""
+    import jax
+    import jax.numpy as jnp
+    from bevformer_tensorrt_tpu.models.modules.attention import SpatialCrossAttention
+
+    nq, cams, C = 256, 3, 32
+    keys = 64
+    spatial_shapes = ((8, 8),)
+    query = jnp.asarray(rng.standard_normal((1, nq, C)), jnp.float32)
+    value = jnp.asarray(rng.standard_normal((cams, keys, C)), jnp.float32)
+    ref = jnp.asarray(rng.uniform(0.1, 0.9, (cams, nq, 2)), jnp.float32)
+    # sparse visibility: ~1/3 of queries per camera
+    vis = rng.uniform(0, 1, (cams, nq)) < 0.3
+    mask = jnp.asarray(vis[..., None].astype(np.float32))
+    mask = mask / jnp.clip(mask.sum(0, keepdims=True), 1e-4)
+
+    def run(budget):
+        m = SpatialCrossAttention(
+            embed_dims=C, num_cams=cams, num_heads=4, num_levels=1,
+            num_points=2, cam_budget=budget,
+        )
+        v = m.init(jax.random.PRNGKey(0), query, value, None, None, ref, mask, spatial_shapes)
+        return np.asarray(m.apply(v, query, value, None, None, ref, mask, spatial_shapes))
+
+    full = run(1.0)
+    compact = run(0.5)  # K = 128 >= max visible (~77 + margin)
+    np.testing.assert_allclose(compact, full, rtol=1e-4, atol=1e-5)

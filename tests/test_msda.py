@@ -109,3 +109,24 @@ def test_msda_bf16_within_fp16_delta(rng):
     )
     b = multi_scale_deformable_attn(value, ref, off, weights, spatial_shapes)
     assert np.abs(np.asarray(a, np.float32) - np.asarray(b, np.float32)).mean() < 0.01
+
+
+def test_msda_boundary_taps_exact(rng):
+    """Corner-packed gather must stay exact for taps at/over image borders
+    (the clamped-window slot remap)."""
+    from bevformer_tensorrt_tpu.ops import multi_scale_deformable_attn_reference
+
+    spatial_shapes = ((9, 13),)
+    value = rng.standard_normal((1, 117, 4, 8)).astype(np.float32)
+    # refs exactly on edges, just inside, just outside
+    edge = np.array(
+        [[0.0, 0.0], [1.0, 1.0], [0.001, 0.999], [-0.05, 0.5], [1.05, 0.5],
+         [0.5, -0.05], [0.5, 1.05], [0.03, 0.03]],
+        np.float32,
+    )
+    ref = edge.reshape(1, -1, 1, 2)
+    off = (rng.standard_normal((1, 8, 4, 2 * 2)) * 1.5).astype(np.float32)
+    weights = rng.standard_normal((1, 8, 4, 2)).astype(np.float32)
+    a = multi_scale_deformable_attn(value, ref, off, weights, spatial_shapes)
+    b = multi_scale_deformable_attn_reference(value, ref, off, weights, spatial_shapes)
+    assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-5
