@@ -113,6 +113,7 @@ class MSDeformableAttention3D(nn.Module):
         reference_points_cam,  # [num_cams, Nq, ppg*2]
         bev_mask,              # [num_cams, Nq, 1] normalized weights
         spatial_shapes: Tuple[Tuple[int, int], ...],
+        compaction=None,       # optional (topi [cams,K], topv [cams,K], ref_c)
     ):
         C, H = self.embed_dims, self.num_heads
         cams, nq = reference_points_cam.shape[:2]
@@ -127,11 +128,14 @@ class MSDeformableAttention3D(nn.Module):
 
         K = min(nq, -(-int(nq * self.cam_budget) // 128) * 128)
         if K < nq:
-            mask_flat = bev_mask.reshape(cams, nq)
-            topv, topi = jax.lax.top_k(mask_flat, K)  # [cams, K]
-            ref_c = jnp.take_along_axis(
-                reference_points_cam, topi[..., None], axis=1
-            ).reshape(cams, K, 1, -1)
+            if compaction is not None:
+                topi, topv, ref_c = compaction
+            else:
+                mask_flat = bev_mask.reshape(cams, nq)
+                topv, topi = jax.lax.top_k(mask_flat, K)  # [cams, K]
+                ref_c = jnp.take_along_axis(
+                    reference_points_cam, topi[..., None], axis=1
+                ).reshape(cams, K, 1, -1)
             off_c = off[topi]     # [cams, K, H, L*P*2]
             attn_c = attn[topi]   # [cams, K, H, L*P]
             out_k = multi_scale_deformable_attn(
@@ -180,6 +184,7 @@ class SpatialCrossAttention(nn.Module):
         reference_points_cam,  # [num_cams, Nq, ppg*2]
         bev_mask,              # [num_cams, Nq, 1] normalized weights
         spatial_shapes: Tuple[Tuple[int, int], ...],
+        compaction=None,
     ):
         inp_residual = query if identity is None else identity
         if query_pos is not None:
@@ -193,7 +198,7 @@ class SpatialCrossAttention(nn.Module):
             cam_budget=self.cam_budget,
             quant=self.quant,
             name="deformable_attention",
-        )(query, value, reference_points_cam, bev_mask, spatial_shapes)
+        )(query, value, reference_points_cam, bev_mask, spatial_shapes, compaction)
 
         slots = QDense(self.embed_dims, quant=self.quant, name="output_proj")(slots)
         return slots + inp_residual

@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -105,6 +106,7 @@ class BEVFormerLayer(nn.Module):
         bev_mask,              # [cams, nq, 1]
         spatial_shapes: Tuple[Tuple[int, int], ...],
         prev_bev,              # [2, nq, C] (already muxed with use_prev_bev)
+        compaction=None,       # frame-invariant (topi, topv, ref_c)
     ):
         cfg = self.cfg
         identity = query
@@ -143,6 +145,7 @@ class BEVFormerLayer(nn.Module):
             reference_points_cam,
             bev_mask,
             spatial_shapes,
+            compaction,
         )
         query = nn.LayerNorm(name="norm2")(query)
         query = FFN(cfg.embed_dims, cfg.ffn_dims, quant=cfg.quant, name="ffn")(query)
@@ -183,6 +186,18 @@ class BEVFormerEncoder(nn.Module):
 
         prev_queue = jnp.concatenate([prev_bev, bev_query], axis=0)  # [2, nq, C]
 
+        # camera compaction is frame geometry — compute the per-camera top-K
+        # ONCE and share it across every layer's cross-attention.
+        compaction = None
+        K = min(nq, -(-int(nq * cfg.cam_budget) // 128) * 128)
+        if K < nq:
+            mask_flat = bev_mask.reshape(cfg.num_cams, nq)
+            topv, topi = jax.lax.top_k(mask_flat, K)
+            ref_c = jnp.take_along_axis(
+                reference_points_cam, topi[..., None], axis=1
+            ).reshape(cfg.num_cams, K, 1, -1)
+            compaction = (topi, topv, ref_c)
+
         output = bev_query
         for i in range(cfg.encoder_layers):
             # first-frame mux (encoder.py:587-589): when use_prev_bev == 0 the
@@ -198,5 +213,6 @@ class BEVFormerEncoder(nn.Module):
                 bev_mask,
                 spatial_shapes,
                 layer_prev,
+                compaction,
             )
         return output

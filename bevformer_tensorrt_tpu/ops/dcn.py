@@ -60,19 +60,11 @@ def modulated_deform_conv2d(
     assert mask.shape == (N, dg * kh * kw, Ho, Wo), mask.shape
 
     cdtype = jnp.float32
-    xf = x.astype(cdtype).reshape(N, dg, Cin // dg, H * W)
-    # corner-packed table: one gather index fetches all 4 bilinear corners
-    # (k, k+1, k+W, k+W+1) — the TPU gather is index-rate bound (~33 M
-    # rows/s regardless of row size), so 1/4 the indices ~= 4x faster.
-    xf4 = jnp.concatenate(
-        [
-            xf,
-            jnp.roll(xf, -1, axis=3),
-            jnp.roll(xf, -W, axis=3),
-            jnp.roll(xf, -(W + 1), axis=3),
-        ],
-        axis=2,
-    )  # [N, dg, 4*Cin/dg, H*W]
+    # gather + blend stay in the input dtype (bf16 halves the gather
+    # traffic; the reference's fp16 plugins make the same trade), while
+    # sampling positions/weights remain f32 — bf16's 8 mantissa bits can't
+    # address a 200-px map at sub-pixel precision.
+    xf = x.reshape(N, dg, Cin // dg, H * W)
     offset = offset.astype(cdtype).reshape(N, dg, kh * kw, 2, Ho, Wo)
     mask = mask.astype(cdtype).reshape(N, dg, kh * kw, Ho, Wo)
 
@@ -80,9 +72,7 @@ def modulated_deform_conv2d(
     base_x = jnp.arange(Wo, dtype=cdtype)[None, :] * stride - padding  # [1, Wo]
 
     def bilinear(py, px):
-        """Sample xf at (py, px): [N, dg, Ho, Wo] -> [N, dg, Cin/dg, Ho, Wo].
-        Clamped-window slot remap keeps boundary taps exact (see
-        ops/msda.py _msda_chunk)."""
+        """Sample xf at (py, px): [N, dg, Ho, Wo] -> [N, dg, Cin/dg, Ho, Wo]."""
         y0 = jnp.floor(py)
         x0 = jnp.floor(px)
         wy1 = py - y0
@@ -90,31 +80,19 @@ def modulated_deform_conv2d(
         iy0 = y0.astype(jnp.int32)
         ix0 = x0.astype(jnp.int32)
 
-        bx = jnp.clip(ix0, 0, max(W - 2, 0))
-        by = jnp.clip(iy0, 0, max(H - 2, 0))
-        dx = ix0 - bx
-        dy = iy0 - by
-        ax0 = (1 - wx1) * ((ix0 >= 0) & (ix0 < W))
-        ax1 = wx1 * ((ix0 + 1 >= 0) & (ix0 + 1 < W))
-        ay0 = (1 - wy1) * ((iy0 >= 0) & (iy0 < H))
-        ay1 = wy1 * ((iy0 + 1 >= 0) & (iy0 + 1 < H))
+        def corner(iy, ix, w):
+            valid = (iy >= 0) & (iy < H) & (ix >= 0) & (ix < W)
+            idx = jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
+            idx = idx.reshape(N, dg, 1, Ho * Wo)
+            g = jnp.take_along_axis(xf, idx, axis=3).reshape(N, dg, Cin // dg, Ho, Wo)
+            return g.astype(cdtype) * (w * valid.astype(cdtype))[:, :, None]
 
-        def slot(d, a0, a1):
-            s0 = jnp.where(d == 0, a0, jnp.where(d == -1, a1, 0.0))
-            s1 = jnp.where(d == 0, a1, jnp.where(d == 1, a0, 0.0))
-            return s0, s1
-
-        sx0, sx1 = slot(dx, ax0, ax1)
-        sy0, sy1 = slot(dy, ay0, ay1)
-
-        idx = (by * W + bx).reshape(N, dg, 1, Ho * Wo)
-        g4 = jnp.take_along_axis(xf4, idx, axis=3).reshape(
-            N, dg, 4, Cin // dg, Ho, Wo
+        return (
+            corner(iy0, ix0, (1 - wy1) * (1 - wx1))
+            + corner(iy0, ix0 + 1, (1 - wy1) * wx1)
+            + corner(iy0 + 1, ix0, wy1 * (1 - wx1))
+            + corner(iy0 + 1, ix0 + 1, wy1 * wx1)
         )
-        w4 = jnp.stack(
-            [sx0 * sy0, sx1 * sy0, sx0 * sy1, sx1 * sy1], axis=2
-        )  # [N, dg, 4, Ho, Wo]
-        return (g4 * w4[:, :, :, None]).sum(axis=2)
 
     wf = weight.astype(cdtype)
     out = jnp.zeros((N, Cout, Ho, Wo), cdtype)

@@ -5,4 +5,10 @@ from .losses import (  # noqa: F401
     focal_cls_cost,
     bbox_l1_cost,
 )
-from .step import bevformer_detr_loss, make_optimizer, make_train_step, init_train_state  # noqa: F401
+from .step import (  # noqa: F401
+    bevformer_detr_loss,
+    make_optimizer,
+    make_train_step,
+    make_temporal_train_step,
+    init_train_state,
+)

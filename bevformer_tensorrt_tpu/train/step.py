@@ -196,6 +196,74 @@ def make_train_step(
     return train_step
 
 
+def make_temporal_train_step(
+    model: Any,
+    num_classes: int,
+    tx: optax.GradientTransformation,
+    queue_length: int = 4,
+) -> Callable:
+    """Temporal-queue training step (reference BEVFormer.forward_train +
+    obtain_history_bev, third_party/bev_mmdet3d/models/detectors/
+    bevformer.py:168-192): the first queue_length-1 frames run WITHOUT
+    gradients to build prev_bev; the last frame trains against it.
+
+    Batch dict (B = global batch of clips, sharded on dp):
+      image      [B, T, cams, 3, H, W]   (T = queue_length)
+      can_bus    [B, T, 18]              (relative deltas, dataset-side)
+      lidar2img  [B, T, 1, cams, 4, 4]
+      gt_boxes   [B, max_gt, 9]          (last frame's GT)
+      gt_labels  [B, max_gt]
+    """
+    T = queue_length
+
+    def per_sample(params, batch_stats, image, can_bus, lidar2img, gt_boxes, gt_labels):
+        cfg = model.cfg
+        nq_bev = cfg.bev_h * cfg.bev_w
+        variables = {"params": params, "batch_stats": batch_stats}
+        prev_bev = jnp.zeros((nq_bev, 1, cfg.embed_dims), jnp.float32)
+        use_prev = jnp.float32(0.0)
+        # history pass, no grad (static unroll: T-1 frames)
+        for t in range(T - 1):
+            bev, _, _ = model.apply(
+                variables,
+                jax.lax.stop_gradient(image[t][None]),
+                jax.lax.stop_gradient(prev_bev),
+                use_prev,
+                can_bus[t],
+                lidar2img[t],
+            )
+            prev_bev = jax.lax.stop_gradient(bev)
+            use_prev = jnp.float32(1.0)
+        _, classes, coords = model.apply(
+            variables, image[T - 1][None], prev_bev, use_prev, can_bus[T - 1], lidar2img[T - 1]
+        )
+        return bevformer_detr_loss(classes, coords, gt_boxes, gt_labels, num_classes)
+
+    def loss_fn(params, batch_stats, batch):
+        out = jax.vmap(per_sample, in_axes=(None, None, 0, 0, 0, 0, 0))(
+            params,
+            batch_stats,
+            batch["image"],
+            batch["can_bus"],
+            batch["lidar2img"],
+            batch["gt_boxes"],
+            batch["gt_labels"],
+        )
+        num_pos = jnp.maximum(out["num_pos"].sum(), 1.0)
+        loss = (out["cls_sum"].sum() + out["bbox_sum"].sum()) / num_pos
+        return loss, {"loss": loss, "num_pos": num_pos}
+
+    def train_step(params, batch_stats, opt_state, batch):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch_stats, batch
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    return train_step
+
+
 def init_train_state(model, rng, cfg, tx):
     """Initialize params + opt state at the model's deploy shapes."""
     nq_bev = cfg.bev_h * cfg.bev_w

@@ -1,0 +1,8 @@
+#!/usr/bin/env bash
+# INT8 PTQ calibration -> scale dict (reference: onnx2trt.sh --int8)
+set -e
+DATA_ROOT=${DATA_ROOT:-data/nuscenes}
+python tools/bevformer/calibrate.py small \
+  --infos "$DATA_ROOT/nuscenes_infos_temporal_val.pkl" \
+  --data-root "$DATA_ROOT" --length 500 --method entropy \
+  --out checkpoints/small_scales.msgpack "$@"

@@ -106,3 +106,69 @@ class TestTrainStep:
             losses.append(float(metrics["loss"]))
         assert all(np.isfinite(losses))
         assert losses[-1] < losses[0], losses
+
+
+@pytest.mark.slow
+class TestTemporalTrainStep:
+    def test_temporal_queue_step_runs(self, rng):
+        from bevformer_tensorrt_tpu.configs.bevformer import bevformer_micro
+        from bevformer_tensorrt_tpu.models.detectors.bevformer import BEVFormer
+        from bevformer_tensorrt_tpu.train import make_temporal_train_step
+
+        cfg = bevformer_micro(encoder_layers=1, decoder_layers=1)
+        model = BEVFormer(cfg)
+        tx = make_optimizer(learning_rate=1e-3)
+        params, batch_stats, opt_state = init_train_state(
+            model, jax.random.PRNGKey(0), cfg, tx
+        )
+        B, T, max_gt = 1, 3, 4
+        l2i = np.tile(np.eye(4, dtype=np.float32), (B, T, 1, cfg.num_cams, 1, 1))
+        l2i[..., 0, 0] = l2i[..., 1, 1] = cfg.img_w / 2
+        gt_boxes = np.zeros((B, max_gt, 9), np.float32)
+        gt_boxes[..., :2] = rng.uniform(-5, 5, (B, max_gt, 2))
+        gt_boxes[..., 3:6] = 2.0
+        gt_labels = np.zeros((B, max_gt), np.int32)
+        batch = {
+            "image": jnp.asarray(
+                rng.standard_normal((B, T, cfg.num_cams, 3, cfg.img_h, cfg.img_w)),
+                jnp.float32,
+            ),
+            "can_bus": jnp.zeros((B, T, cfg.can_bus_dims)),
+            "lidar2img": jnp.asarray(l2i),
+            "gt_boxes": jnp.asarray(gt_boxes),
+            "gt_labels": jnp.asarray(gt_labels),
+        }
+        step = jax.jit(make_temporal_train_step(model, cfg.num_classes, tx, queue_length=T))
+        params, opt_state, metrics = step(params, batch_stats, opt_state, batch)
+        assert np.isfinite(float(metrics["loss"]))
+
+
+class TestExport:
+    def test_serialized_roundtrip_micro_forward(self, rng, tmp_path):
+        from bevformer_tensorrt_tpu.configs.bevformer import bevformer_micro
+        from bevformer_tensorrt_tpu.models.detectors.bevformer import BEVFormer
+        from bevformer_tensorrt_tpu.runtime.export import export_serialized, load_serialized
+
+        cfg = bevformer_micro(encoder_layers=1, decoder_layers=1)
+        model = BEVFormer(cfg)
+        nq = cfg.bev_h * cfg.bev_w
+        args = (
+            jnp.zeros((1, cfg.num_cams, 3, cfg.img_h, cfg.img_w), jnp.float32),
+            jnp.zeros((nq, 1, cfg.embed_dims), jnp.float32),
+            jnp.float32(0.0),
+            jnp.zeros(cfg.can_bus_dims, jnp.float32),
+            jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (1, cfg.num_cams, 1, 1))),
+        )
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), *args)
+
+        def fwd(*a):
+            return model.apply(variables, *a)
+
+        path = tmp_path / "bevformer_micro.stablehlo"
+        export_serialized(fwd, args, path)
+        g = load_serialized(path)
+        ref = fwd(*args)
+        out = g(*args)
+        np.testing.assert_allclose(
+            np.asarray(out[2]), np.asarray(ref[2]), rtol=1e-5, atol=1e-5
+        )
