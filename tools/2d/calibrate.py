@@ -1,0 +1,87 @@
+"""PTQ calibration for the 2D family (YOLOX / CenterNet).
+
+TPU-native equivalent of tools/2d/post_training_quant.py in the reference:
+N batches through the QDQ-instrumented model, two-pass entropy/percentile/
+max scale selection, scale-dict checkpoint out.
+
+Usage:
+  python tools/2d/calibrate.py yolox_x --ann instances_val2017.json \
+      --img-root val2017 --length 512 --method entropy --out scales.msgpack
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("model", choices=["yolox_x", "yolox_s", "centernet_r18"])
+    ap.add_argument("--ann", required=True)
+    ap.add_argument("--img-root", required=True)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--length", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--method", default="entropy", choices=["max", "percentile", "entropy"])
+    ap.add_argument("--percentile", type=float, default=99.99)
+    ap.add_argument("--out", required=True)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from bevformer_tensorrt_tpu.data.coco import CocoDataset
+    from bevformer_tensorrt_tpu.quant.calibrate import calibrate
+    from bevformer_tensorrt_tpu.runtime.checkpoint import load_checkpoint, save_checkpoint
+
+    if args.model.startswith("yolox"):
+        from bevformer_tensorrt_tpu.configs import yolox as ycfg
+        from bevformer_tensorrt_tpu.models.detectors.yolox import YOLOX
+
+        cfg = getattr(ycfg, args.model)(quant=True)
+        model = YOLOX(cfg)
+        ds = CocoDataset(args.ann, args.img_root, img_size=cfg.img_size)
+    else:
+        from bevformer_tensorrt_tpu.configs.centernet import centernet_r18
+        from bevformer_tensorrt_tpu.models.detectors.centernet import CenterNet
+
+        cfg = centernet_r18(quant=True)
+        model = CenterNet(cfg)
+        ds = CocoDataset(
+            args.ann, args.img_root, img_size=cfg.img_size,
+            mean=(123.675, 116.28, 103.53), std=(58.395, 57.12, 57.375), to_rgb=True,
+        )
+
+    B = args.batch
+    imgs0 = jnp.zeros((B, 3, cfg.img_size, cfg.img_size), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), imgs0)
+    if args.checkpoint:
+        ckpt = load_checkpoint(args.checkpoint)
+        variables = {**variables, "params": ckpt["params"], "batch_stats": ckpt.get("batch_stats", variables.get("batch_stats", {}))}
+
+    n = min(args.length, len(ds))
+    batches = []
+    for s in range(0, n, B):
+        imgs = np.zeros((B, 3, cfg.img_size, cfg.img_size), np.float32)
+        for i in range(s, min(s + B, n)):
+            imgs[i - s] = ds.sample(i).image
+        batches.append({"image": imgs})
+
+    def apply_fn(v, batch, mutable):
+        _, mutated = model.apply(v, jnp.asarray(batch["image"]), mutable=mutable)
+        return mutated
+
+    quant_vars, result = calibrate(
+        apply_fn, variables, batches, method=args.method, percentile=args.percentile
+    )
+    save_checkpoint(args.out, quant_vars)
+    print(f"saved {len(result.scales)} scales -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,151 @@
+"""Benchmark every model family; prints a JSON dict of FPS numbers.
+
+Covers the reference's full benchmark matrix (README.md tables): BEVFormer
+tiny/small/base, BEVDet R50, YOLOX-x, CenterNet — per-frame latency with
+forced device->host readback (tunneled backends ack before execution
+otherwise).
+
+Usage: python tools/benchmark_all.py [--models tiny base bevdet yolox centernet]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+BASELINES = {  # reference best published FPS (BASELINE.md)
+    "tiny": 108.3, "small": 22.9, "base": 8.6,
+    "bevdet": 236.4, "yolox": 556.4, "centernet": 1889.0,
+}
+
+
+def timeit(fn, *args, iters=5, warmup=2):
+    import jax
+
+    for _ in range(warmup):
+        r = fn(*args)
+        np.asarray(jax.tree.leaves(r)[0].ravel()[0])
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        r = fn(*args)
+        np.asarray(jax.tree.leaves(r)[0].ravel()[0])
+        ts.append(time.perf_counter() - t0)
+    return float(np.mean(ts))
+
+
+def bench_bevformer(name, dtype):
+    import jax
+    import jax.numpy as jnp
+
+    from bevformer_tensorrt_tpu.configs import bevformer as cfgs
+    from bevformer_tensorrt_tpu.models.detectors.bevformer import BEVFormer
+
+    cfg = getattr(cfgs, f"bevformer_{name}")(dtype=dtype)
+    model = BEVFormer(cfg)
+    nq = cfg.bev_h * cfg.bev_w
+    rng = np.random.default_rng(0)
+    args = (
+        jnp.asarray(rng.standard_normal((1, cfg.num_cams, 3, cfg.img_h, cfg.img_w)), jnp.float32),
+        jnp.zeros((nq, 1, cfg.embed_dims), jnp.float32),
+        jnp.float32(1.0),
+        jnp.zeros(cfg.can_bus_dims, jnp.float32),
+        jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (1, cfg.num_cams, 1, 1))),
+    )
+    v = jax.jit(model.init)(jax.random.PRNGKey(0), *args)
+    fn = jax.jit(lambda v, *a: model.apply(v, *a))
+    dt = timeit(fn, v, *args)
+    return 1.0 / dt, 1
+
+
+def bench_bevdet(dtype):
+    import jax
+    import jax.numpy as jnp
+
+    from bevformer_tensorrt_tpu.configs.bevdet import bevdet_r50
+    from bevformer_tensorrt_tpu.models.detectors.bevdet import BEVDet
+    from bevformer_tensorrt_tpu.models.necks.view_transformer import (
+        get_lidar_coor,
+        voxel_pooling_prepare,
+    )
+
+    cfg = bevdet_r50(dtype=dtype)
+    model = BEVDet(cfg)
+    N = cfg.num_cams
+    s2e = np.broadcast_to(np.eye(4, dtype=np.float32), (N, 4, 4)).copy()
+    intr = np.stack(
+        [np.array([[800.0, 0, cfg.input_w / 2], [0, 800.0, cfg.input_h / 2], [0, 0, 1]], np.float32)] * N
+    )
+    ranks = voxel_pooling_prepare(cfg, get_lidar_coor(cfg, s2e, intr), pad_to=400000)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.standard_normal((1, N, 3, cfg.input_h, cfg.input_w)), jnp.float32)
+    rd, rf, rb = map(jnp.asarray, (ranks.ranks_depth, ranks.ranks_feat, ranks.ranks_bev))
+    v = jax.jit(model.init)(jax.random.PRNGKey(0), img, rd, rf, rb)
+    fn = jax.jit(lambda v, img: model.apply(v, img, rd, rf, rb))
+    dt = timeit(fn, v, img)
+    return 1.0 / dt, 1
+
+
+def bench_2d(which, dtype, batch=32):
+    import jax
+    import jax.numpy as jnp
+
+    if which == "yolox":
+        from bevformer_tensorrt_tpu.configs.yolox import yolox_x
+        from bevformer_tensorrt_tpu.models.detectors.yolox import YOLOX
+
+        cfg = yolox_x(dtype=dtype)
+        model = YOLOX(cfg)
+    else:
+        from bevformer_tensorrt_tpu.configs.centernet import centernet_r18
+        from bevformer_tensorrt_tpu.models.detectors.centernet import CenterNet
+
+        cfg = centernet_r18(dtype=dtype)
+        model = CenterNet(cfg)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.standard_normal((batch, 3, cfg.img_size, cfg.img_size)), jnp.float32)
+    v = jax.jit(model.init)(jax.random.PRNGKey(0), img)
+    fn = jax.jit(lambda v, img: model.apply(v, img))
+    dt = timeit(fn, v, img)
+    return batch / dt, batch
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--models", nargs="*", default=["tiny", "base", "bevdet", "yolox", "centernet"])
+    ap.add_argument("--dtype", default="bfloat16")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+    out = {}
+    for m in args.models:
+        try:
+            if m in ("tiny", "small", "base"):
+                fps, bs = bench_bevformer(m, args.dtype)
+            elif m == "bevdet":
+                fps, bs = bench_bevdet(args.dtype)
+            else:
+                fps, bs = bench_2d(m, args.dtype)
+            out[m] = {
+                "fps": round(fps, 2),
+                "batch": bs,
+                "vs_baseline": round(fps / BASELINES[m], 3),
+            }
+            print(f"{m}: {fps:.1f} FPS (x{fps / BASELINES[m]:.2f} vs reference)", file=sys.stderr)
+        except Exception as e:
+            out[m] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
+            print(f"{m}: FAILED {type(e).__name__}", file=sys.stderr)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

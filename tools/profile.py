@@ -1,0 +1,58 @@
+"""Capture a jax.profiler trace of N inference frames.
+
+The reference's profiling story is stream-sync latency timing + TRT
+DETAILED verbosity (SURVEY.md §5); here the full XLA trace (per-fusion
+timing, HBM traffic) lands in a TensorBoard-compatible directory.
+
+Usage: python tools/profile.py [tiny|base] --out /tmp/trace [--frames 3]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("model", nargs="?", default="tiny")
+    ap.add_argument("--out", default="/tmp/jax-trace")
+    ap.add_argument("--frames", type=int, default=3)
+    ap.add_argument("--dtype", default="bfloat16")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from bevformer_tensorrt_tpu.configs import bevformer as cfgs
+    from bevformer_tensorrt_tpu.models.detectors.bevformer import BEVFormer
+
+    cfg = getattr(cfgs, f"bevformer_{args.model}")(dtype=args.dtype)
+    model = BEVFormer(cfg)
+    nq = cfg.bev_h * cfg.bev_w
+    rng = np.random.default_rng(0)
+    inputs = (
+        jnp.asarray(rng.standard_normal((1, cfg.num_cams, 3, cfg.img_h, cfg.img_w)), jnp.float32),
+        jnp.zeros((nq, 1, cfg.embed_dims), jnp.float32),
+        jnp.float32(1.0),
+        jnp.zeros(cfg.can_bus_dims, jnp.float32),
+        jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (1, cfg.num_cams, 1, 1))),
+    )
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *inputs)
+    fn = jax.jit(lambda v, *a: model.apply(v, *a))
+    out = fn(variables, *inputs)  # compile outside the trace
+    np.asarray(jax.tree.leaves(out)[0].ravel()[0])
+
+    with jax.profiler.trace(args.out):
+        for _ in range(args.frames):
+            out = fn(variables, *inputs)
+            np.asarray(jax.tree.leaves(out)[0].ravel()[0])
+    print(f"trace -> {args.out} (tensorboard --logdir {args.out})")
+
+
+if __name__ == "__main__":
+    main()
