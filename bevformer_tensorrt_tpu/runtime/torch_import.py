@@ -1,0 +1,216 @@
+"""Import reference (mmdet/torch) BEVFormer checkpoints into the flax tree.
+
+Maps the reference's state_dict layout (third_party/bev_mmdet3d model
+naming: img_backbone.layer*.*, img_neck.{lateral_convs,fpn_convs},
+pts_bbox_head.{transformer,cls_branches,reg_branches,...}) onto this
+framework's parameter tree.  Conventions:
+
+  torch Linear weight [out, in]      -> kernel [in, out] (transpose)
+  torch Conv  weight [O, I, kh, kw]  -> kernel [kh, kw, I, O]
+  BatchNorm weight/bias              -> FrozenBN scale/bias ("params")
+  BatchNorm running_mean/var         -> "batch_stats" mean/var
+  nn.MultiheadAttention in_proj      -> split q/k/v projections
+
+Offset/weight projection feature layouts were verified against the
+reference reshapes (temporal_self_attention.py:211-255 [H,Q,L,P,2];
+spatial_cross_attention MSDA3D [H,L,P,2]) — identical ordering here, so
+the Linear weights import without permutation.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import numpy as np
+
+
+def _lin(sd, key):
+    out = {"kernel": np.asarray(sd[f"{key}.weight"]).T}
+    if f"{key}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{key}.bias"])
+    return out
+
+
+def _conv(sd, key):
+    out = {"kernel": np.transpose(np.asarray(sd[f"{key}.weight"]), (2, 3, 1, 0))}
+    if f"{key}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{key}.bias"])
+    return out
+
+
+def _ln(sd, key):
+    return {"scale": np.asarray(sd[f"{key}.weight"]), "bias": np.asarray(sd[f"{key}.bias"])}
+
+
+def _bn(sd, key):
+    p = {"scale": np.asarray(sd[f"{key}.weight"]), "bias": np.asarray(sd[f"{key}.bias"])}
+    s = {"mean": np.asarray(sd[f"{key}.running_mean"]), "var": np.asarray(sd[f"{key}.running_var"])}
+    return p, s
+
+
+def import_bevformer_checkpoint(
+    state_dict: Dict[str, Any],
+    depth: int = 101,
+    encoder_layers: int = 6,
+    decoder_layers: int = 6,
+    dcn_stages=(False, False, True, True),
+) -> Dict[str, Any]:
+    """Returns {"params": ..., "batch_stats": ...} for models.detectors.BEVFormer."""
+    sd = {k.replace("module.", ""): v for k, v in state_dict.items()}
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    # ---- backbone -------------------------------------------------------
+    bp: Dict[str, Any] = {}
+    bs_: Dict[str, Any] = {}
+    bp["stem_conv"] = _conv(sd, "img_backbone.conv1")
+    bp["stem_bn"], bs_["stem_bn"] = _bn(sd, "img_backbone.bn1")
+    from ..models.backbones.resnet import STAGE_BLOCKS
+
+    for stage in range(4):
+        for b in range(STAGE_BLOCKS[depth][stage]):
+            src = f"img_backbone.layer{stage + 1}.{b}"
+            dst = f"stage{stage}_block{b}"
+            p: Dict[str, Any] = {}
+            s: Dict[str, Any] = {}
+            p["conv1"] = _conv(sd, f"{src}.conv1")
+            p["bn1"], s["bn1"] = _bn(sd, f"{src}.bn1")
+            if dcn_stages[stage]:
+                # mmcv DCN: conv2.weight + conv2.conv_offset
+                p["conv2"] = {
+                    "conv_offset": _conv(sd, f"{src}.conv2.conv_offset"),
+                    "kernel": np.transpose(np.asarray(sd[f"{src}.conv2.weight"]), (2, 3, 1, 0)),
+                }
+            else:
+                p["conv2"] = _conv(sd, f"{src}.conv2")
+            p["bn2"], s["bn2"] = _bn(sd, f"{src}.bn2")
+            p["conv3"] = _conv(sd, f"{src}.conv3")
+            p["bn3"], s["bn3"] = _bn(sd, f"{src}.bn3")
+            if f"{src}.downsample.0.weight" in sd:
+                p["downsample_conv"] = _conv(sd, f"{src}.downsample.0")
+                p["downsample_bn"], s["downsample_bn"] = _bn(sd, f"{src}.downsample.1")
+            bp[dst] = p
+            bs_[dst] = s
+    params["img_backbone"] = bp
+    stats["img_backbone"] = bs_
+
+    # ---- FPN ------------------------------------------------------------
+    neck: Dict[str, Any] = {}
+    i = 0
+    while f"img_neck.lateral_convs.{i}.conv.weight" in sd:
+        neck[f"lateral{i}"] = _conv(sd, f"img_neck.lateral_convs.{i}.conv")
+        i += 1
+    i = 0
+    while f"img_neck.fpn_convs.{i}.conv.weight" in sd:
+        neck[f"fpn{i}"] = _conv(sd, f"img_neck.fpn_convs.{i}.conv")
+        i += 1
+    params["img_neck"] = neck
+
+    # ---- head -----------------------------------------------------------
+    hd: Dict[str, Any] = {}
+    hd["bev_embedding"] = np.asarray(sd["pts_bbox_head.bev_embedding.weight"])
+    hd["query_embedding"] = np.asarray(sd["pts_bbox_head.query_embedding.weight"])
+    hd["positional_encoding"] = {
+        "row_embed": np.asarray(sd["pts_bbox_head.positional_encoding.row_embed.weight"]),
+        "col_embed": np.asarray(sd["pts_bbox_head.positional_encoding.col_embed.weight"]),
+    }
+    for i in range(decoder_layers):
+        # ClsBranch: Linear(0) LN(1) Linear(3) LN(4) Linear(6)
+        c = f"pts_bbox_head.cls_branches.{i}"
+        hd[f"cls_branch{i}"] = {
+            "fc1": _lin(sd, f"{c}.0"),
+            "ln1": _ln(sd, f"{c}.1"),
+            "fc2": _lin(sd, f"{c}.3"),
+            "ln2": _ln(sd, f"{c}.4"),
+            "out": _lin(sd, f"{c}.6"),
+        }
+        # RegBranch: Linear(0) ReLU Linear(2) ReLU Linear(4)
+        r = f"pts_bbox_head.reg_branches.{i}"
+        hd[f"reg_branch{i}"] = {
+            "fc1": _lin(sd, f"{r}.0"),
+            "fc2": _lin(sd, f"{r}.2"),
+            "out": _lin(sd, f"{r}.4"),
+        }
+
+    # ---- transformer ----------------------------------------------------
+    t = "pts_bbox_head.transformer"
+    tr: Dict[str, Any] = {
+        "cams_embeds": np.asarray(sd[f"{t}.cams_embeds"]),
+        "level_embeds": np.asarray(sd[f"{t}.level_embeds"]),
+        "reference_points": _lin(sd, f"{t}.reference_points"),
+        "can_bus_fc1": _lin(sd, f"{t}.can_bus_mlp.0"),
+        "can_bus_fc2": _lin(sd, f"{t}.can_bus_mlp.2"),
+        "can_bus_norm": _ln(sd, f"{t}.can_bus_mlp.norm"),
+    }
+
+    enc: Dict[str, Any] = {}
+    for i in range(encoder_layers):
+        e = f"{t}.encoder.layers.{i}"
+        layer: Dict[str, Any] = {}
+        tsa = f"{e}.attentions.0"
+        layer["self_attn"] = {
+            "sampling_offsets": _lin(sd, f"{tsa}.sampling_offsets"),
+            "attention_weights": _lin(sd, f"{tsa}.attention_weights"),
+            "value_proj": _lin(sd, f"{tsa}.value_proj"),
+            "output_proj": _lin(sd, f"{tsa}.output_proj"),
+        }
+        sca = f"{e}.attentions.1"
+        layer["cross_attn"] = {
+            "deformable_attention": {
+                "sampling_offsets": _lin(sd, f"{sca}.deformable_attention.sampling_offsets"),
+                "attention_weights": _lin(sd, f"{sca}.deformable_attention.attention_weights"),
+                "value_proj": _lin(sd, f"{sca}.deformable_attention.value_proj"),
+            },
+            "output_proj": _lin(sd, f"{sca}.output_proj"),
+        }
+        layer["ffn"] = {
+            "fc1": _lin(sd, f"{e}.ffns.0.layers.0.0"),
+            "fc2": _lin(sd, f"{e}.ffns.0.layers.1"),
+        }
+        for n in range(3):
+            layer[f"norm{n + 1}"] = _ln(sd, f"{e}.norms.{n}")
+        enc[f"layer{i}"] = layer
+    tr["encoder"] = enc
+
+    dec: Dict[str, Any] = {}
+    for i in range(decoder_layers):
+        d = f"{t}.decoder.layers.{i}"
+        layer = {}
+        # nn.MultiheadAttention: in_proj [3C, C] -> q/k/v
+        mha = f"{d}.attentions.0.attn"
+        w = np.asarray(sd[f"{mha}.in_proj_weight"])
+        b = np.asarray(sd[f"{mha}.in_proj_bias"])
+        C = w.shape[1]
+        layer["self_attn"] = {
+            "q_proj": {"kernel": w[:C].T, "bias": b[:C]},
+            "k_proj": {"kernel": w[C : 2 * C].T, "bias": b[C : 2 * C]},
+            "v_proj": {"kernel": w[2 * C :].T, "bias": b[2 * C :]},
+            "out_proj": _lin(sd, f"{mha}.out_proj"),
+        }
+        cma = f"{d}.attentions.1"
+        layer["cross_attn"] = {
+            "sampling_offsets": _lin(sd, f"{cma}.sampling_offsets"),
+            "attention_weights": _lin(sd, f"{cma}.attention_weights"),
+            "value_proj": _lin(sd, f"{cma}.value_proj"),
+            "output_proj": _lin(sd, f"{cma}.output_proj"),
+        }
+        layer["ffn"] = {
+            "fc1": _lin(sd, f"{d}.ffns.0.layers.0.0"),
+            "fc2": _lin(sd, f"{d}.ffns.0.layers.1"),
+        }
+        for n in range(3):
+            layer[f"norm{n + 1}"] = _ln(sd, f"{d}.norms.{n}")
+        dec[f"layer{i}"] = layer
+    tr["decoder"] = dec
+
+    hd["transformer"] = tr
+    params["pts_bbox_head"] = hd
+    return {"params": params, "batch_stats": stats}
+
+
+def load_torch_checkpoint(path: str):
+    """Load a .pth file (torch CPU) and return its flat state_dict."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt)
+    return {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
