@@ -141,7 +141,7 @@ class MSDeformableAttention3D(nn.Module):
             out_k = multi_scale_deformable_attn(
                 v, ref_c, off_c, attn_c, spatial_shapes
             )  # [cams, K, C]
-            weighted = out_k * topv[..., None]
+            weighted = (out_k * topv[..., None]).astype(out_k.dtype)
             slots = (
                 jnp.zeros((nq, C), out_k.dtype)
                 .at[topi.reshape(-1)]
@@ -248,11 +248,15 @@ class CustomMSDeformableAttention(nn.Module):
 
 class MultiheadAttention(nn.Module):
     """Decoder self-attention over object queries, built on the fused qkv op
-    (reference multi_head_attention.py:110-255 wrapping the QKVTRT plugin)."""
+    (reference multi_head_attention.py:110-255 wrapping the QKVTRT plugin).
+
+    On TPU with eligible head dims the Pallas flash-attention kernel is
+    selected — the analogue of the reference's flash-MHA eligibility check
+    (multiHeadAttnPlugin.h:86-91: head_dim in {32, 64})."""
 
     embed_dims: int = 256
     num_heads: int = 8
-    quant: bool = False
+    quant: bool | str = False
 
     @nn.compact
     def __call__(self, query, key, value, identity, query_pos, key_pos):
@@ -269,6 +273,15 @@ class MultiheadAttention(nn.Module):
             q = QDQ(name="qdq_q")(q)
             k = QDQ(name="qdq_k")(k)
             v = QDQ(name="qdq_v")(v)
-        out = multi_head_attention(q, k, v, num_heads=self.num_heads)
+        head_dim = C // self.num_heads
+        if jax.default_backend() == "tpu" and head_dim in (32, 64):
+            from ...ops.pallas import flash_attention
+
+            impl = flash_attention
+        else:
+            from ...ops.attention import qkv
+
+            impl = qkv
+        out = multi_head_attention(q, k, v, num_heads=self.num_heads, impl=impl)
         out = QDense(C, quant=self.quant, name="out_proj")(out)
         return out + inp_residual
