@@ -125,3 +125,50 @@ def test_observer_updates():
     assert float(hist.sum()) == 3.0
     assert float(hist[0]) == 1.0  # 0.0 -> bin 0
     assert float(hist[NUM_BINS - 1]) == 1.0  # 2.999 -> last bin
+
+
+class TestInt8EndToEnd:
+    def test_micro_model_int8_forward_matches_qdq(self, rng):
+        """Full micro model: calibrate -> int8 execution vs QDQ simulation.
+        The int8 path replaces every QDense/QConv matmul with an actual
+        int8 MXU op; outputs must track the fake-quant simulation."""
+        import jax
+        import jax.numpy as jnp
+        from flax import traverse_util
+
+        from bevformer_tensorrt_tpu.configs.bevformer import bevformer_micro
+        from bevformer_tensorrt_tpu.models.detectors.bevformer import BEVFormer
+
+        def build(quant):
+            cfg = bevformer_micro(encoder_layers=1, decoder_layers=1, quant=quant)
+            return BEVFormer(cfg), cfg
+
+        model_q, cfg = build(True)
+        nq = cfg.bev_h * cfg.bev_w
+        args = (
+            jnp.asarray(
+                rng.standard_normal((1, cfg.num_cams, 3, cfg.img_h, cfg.img_w)), jnp.float32
+            ),
+            jnp.zeros((nq, 1, cfg.embed_dims), jnp.float32),
+            jnp.float32(0.0),
+            jnp.zeros(cfg.can_bus_dims, jnp.float32),
+            jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (1, cfg.num_cams, 1, 1))),
+        )
+        variables = jax.jit(model_q.init)(jax.random.PRNGKey(0), *args)
+        # one-batch max calibration
+        _, mut = model_q.apply(variables, *args, mutable=["amax_stats"])
+        flat = traverse_util.flatten_dict(mut["amax_stats"])
+        scales = {
+            p[:-1] + ("scale",): jnp.maximum(v, 1e-6) / 127.0 for p, v in flat.items()
+        }
+        quant_col = {"quant": traverse_util.unflatten_dict(scales)}
+
+        out_qdq = model_q.apply({**variables, **quant_col}, *args)
+        model_i8, _ = build("int8")
+        out_i8 = model_i8.apply({**variables, **quant_col}, *args)
+
+        coords_qdq = np.asarray(out_qdq[2])
+        coords_i8 = np.asarray(out_i8[2])
+        assert np.all(np.isfinite(coords_i8))
+        # int accumulation is exact; small drift from requantized epilogues
+        assert np.abs(coords_i8 - coords_qdq).mean() < 0.05
