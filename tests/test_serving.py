@@ -70,3 +70,47 @@ def test_continuous_batching_matches_sequential(rng):
     assert set(results) == set(seq_out)
     for k in seq_out:
         np.testing.assert_allclose(results[k], seq_out[k], rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_continuous_batching_on_mesh(rng, cpu_mesh_devices):
+    """The dp-sharded batched step must produce the same results as the
+    unsharded engine (multi-device inference — absent in the reference)."""
+    from bevformer_tensorrt_tpu.parallel import make_mesh
+
+    cfg = bevformer_micro(encoder_layers=1, decoder_layers=1)
+    model = BEVFormer(cfg)
+    nq = cfg.bev_h * cfg.bev_w
+    dummy = (
+        jnp.zeros((1, cfg.num_cams, 3, cfg.img_h, cfg.img_w), jnp.float32),
+        jnp.zeros((nq, 1, cfg.embed_dims), jnp.float32),
+        jnp.float32(0.0),
+        jnp.zeros(cfg.can_bus_dims, jnp.float32),
+        jnp.zeros((1, cfg.num_cams, 4, 4), jnp.float32),
+    )
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *dummy)
+    mesh = make_mesh(cpu_mesh_devices, dp=2)
+
+    def make_frame(scene):
+        r = np.random.default_rng(scene)
+        l2i = np.tile(np.eye(4, dtype=np.float32), (1, cfg.num_cams, 1, 1))
+        l2i[..., 0, 0] = l2i[..., 1, 1] = cfg.img_w / 2
+        return dict(
+            image=r.standard_normal((1, cfg.num_cams, 3, cfg.img_h, cfg.img_w)).astype(np.float32),
+            can_bus=r.standard_normal(18).astype(np.float32),
+            lidar2img=l2i.astype(np.float32),
+        )
+
+    frames = {s: make_frame(s) for s in (0, 1)}
+
+    def run(mesh_arg):
+        eng = ContinuousBatchingEngine(model, variables, cfg, max_scenes=4, batch=2, mesh=mesh_arg)
+        for s, f in frames.items():
+            eng.submit(FrameRequest(scene_id=s, image=f["image"], can_bus=f["can_bus"],
+                                    lidar2img=f["lidar2img"], scene_token=f"sc{s}", tag=s))
+        return {tag: coords for tag, _, coords in eng.drain()}
+
+    plain = run(None)
+    sharded = run(mesh)
+    for k in plain:
+        np.testing.assert_allclose(sharded[k], plain[k], rtol=2e-4, atol=2e-4)
