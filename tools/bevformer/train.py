@@ -20,7 +20,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
 import numpy as np
 
-MAX_GT = 64
+MAX_GT = 64  # clamped to num_query below (matching must have rows <= cols)
 
 
 def main():
@@ -33,10 +33,22 @@ def main():
     ap.add_argument("--steps", type=int, default=1000)
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--out", default="checkpoints/bevformer.msgpack")
+    ap.add_argument("--resume", default=None,
+                    help="resume params/batch_stats from a prior --out checkpoint "
+                    "(reference --resume-from, tools/bevformer/train.py:34)")
+    ap.add_argument("--save-every", type=int, default=1000)
     ap.add_argument("--log-every", type=int, default=10)
     args = ap.parse_args()
 
+    import os
+
     import jax
+
+    # some environments pin jax_platforms in sitecustomize; honor the
+    # explicit env var so virtual-mesh runs (JAX_PLATFORMS=cpu) work
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -66,15 +78,17 @@ def main():
     mesh = make_mesh()
     dp = mesh.shape["dp"]
     print(f"mesh: dp{dp} x tp{mesh.shape['tp']}", file=sys.stderr)
+    max_gt = min(MAX_GT, cfg.num_query)
 
     # QAT uses the reference's recipe: tiny lr (1e-6), 1 epoch
     # (configs/bevformer/bevformer_base_trt_q.py:64-78)
     lr = 1e-6 if qat else args.lr
     tx = make_optimizer(learning_rate=lr, total_steps=args.steps)
     params, batch_stats, opt_state = init_train_state(model, jax.random.PRNGKey(0), cfg, tx)
-    if args.checkpoint:
+    start_from = args.resume or args.checkpoint
+    if start_from:
         ckpt = load_checkpoint(
-            args.checkpoint, template={"params": params, "batch_stats": batch_stats}
+            start_from, template={"params": params, "batch_stats": batch_stats}
         )
         params, batch_stats = ckpt["params"], ckpt["batch_stats"]
 
@@ -96,9 +110,9 @@ def main():
                 imgs, cbs, l2is, gbs, gls = [], [], [], [], []
                 for i in idx[s : s + dp]:
                     f = frames.frame(int(i))
-                    gb = np.zeros((MAX_GT, 9), np.float32)
-                    gl = np.full(MAX_GT, -1, np.int32)
-                    k = min(len(f.gt_labels), MAX_GT)
+                    gb = np.zeros((max_gt, 9), np.float32)
+                    gl = np.full(max_gt, -1, np.int32)
+                    k = min(len(f.gt_labels), max_gt)
                     gb[:k] = f.gt_boxes[:k]
                     gl[:k] = f.gt_labels[:k]
                     imgs.append(f.image[0])
@@ -128,6 +142,8 @@ def main():
                 f"bbox {float(metrics['loss_bbox']):.4f} ({dt / (step + 1):.2f}s/step)",
                 file=sys.stderr,
             )
+        if args.save_every and step and step % args.save_every == 0:
+            save_checkpoint(args.out, {"params": params, "batch_stats": batch_stats})
 
     save_checkpoint(args.out, {"params": params, "batch_stats": batch_stats})
     print(f"saved -> {args.out}")
