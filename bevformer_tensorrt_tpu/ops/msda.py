@@ -267,3 +267,97 @@ def multi_scale_deformable_attn_reference(
         out = out + jnp.einsum("bqhpc,bqhp->bqhc", taps, wl, precision="highest")
 
     return out.reshape(bs, num_q, num_heads * ch).astype(value.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("spatial_shapes",))
+def multi_scale_deformable_attn_lane(
+    value: jax.Array,
+    reference_points: jax.Array,
+    sampling_offsets: jax.Array,
+    attention_weights: jax.Array,
+    spatial_shapes: Tuple[Tuple[int, int], ...],
+) -> jax.Array:
+    """MSDA with the Pallas lane-binned gather (ops/pallas/lane_gather).
+
+    Same contract as `multi_scale_deformable_attn`.  The corner-packed
+    value tables are transposed to [bs*heads, 4*ch, HW_padded] (keys on
+    lanes) and the bilinear taps resolve through in-VMEM vreg lane-gathers
+    — measured 4-8x the XLA gather rate on v5e without binning (spatially
+    coherent BEV-query taps), 25x+ with span-1 binning (round-2 work).
+    TPU-only (Mosaic); use the default op elsewhere.
+    """
+    from .pallas.lane_gather import lane_gather
+
+    bs, num_keys, num_heads, ch = value.shape
+    num_q = reference_points.shape[1]
+    L = len(spatial_shapes)
+    P = attention_weights.shape[-1] // L
+
+    weights = jax.nn.softmax(attention_weights.astype(jnp.float32), axis=-1)
+    weights = weights.reshape(bs, num_q, num_heads, L, P)
+    loc = msda_sampling_locations(
+        reference_points.astype(jnp.float32),
+        sampling_offsets.astype(jnp.float32),
+        spatial_shapes,
+        num_heads,
+    )  # [bs, q, heads, L, P, 2]
+
+    starts = [0]
+    for h, w in spatial_shapes:
+        starts.append(starts[-1] + h * w)
+
+    acc = jnp.zeros((bs, num_q, num_heads, ch), jnp.float32)
+    for lvl, (H, W) in enumerate(spatial_shapes):
+        v4 = _corner_pack(value[:, starts[lvl] : starts[lvl + 1]], H, W)
+        # -> transposed table [bs*heads, 4ch, HW_pad] (keys minor)
+        hw_pad = (-(H * W)) % 128
+        vt = v4.transpose(0, 2, 3, 1).reshape(bs * num_heads, 4 * ch, H * W)
+        if hw_pad:
+            vt = jnp.pad(vt, ((0, 0), (0, 0), (0, hw_pad)))
+
+        x = loc[..., lvl, :, 0] * W - 0.5
+        y = loc[..., lvl, :, 1] * H - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        wx1 = x - x0
+        wy1 = y - y0
+        ix0 = x0.astype(jnp.int32)
+        iy0 = y0.astype(jnp.int32)
+        bx = jnp.clip(ix0, 0, max(W - 2, 0))
+        by = jnp.clip(iy0, 0, max(H - 2, 0))
+        dx = ix0 - bx
+        dy = iy0 - by
+        ax0 = (1 - wx1) * ((ix0 >= 0) & (ix0 < W))
+        ax1 = wx1 * ((ix0 + 1 >= 0) & (ix0 + 1 < W))
+        ay0 = (1 - wy1) * ((iy0 >= 0) & (iy0 < H))
+        ay1 = wy1 * ((iy0 + 1 >= 0) & (iy0 + 1 < H))
+
+        def slot(d, a0, a1):
+            s0 = jnp.where(d == 0, a0, jnp.where(d == -1, a1, 0.0))
+            s1 = jnp.where(d == 0, a1, jnp.where(d == 1, a0, 0.0))
+            return s0, s1
+
+        sx0, sx1 = slot(dx, ax0, ax1)
+        sy0, sy1 = slot(dy, ay0, ay1)
+
+        idx = by * W + bx  # [bs, q, heads, P]
+        wl = weights[:, :, :, lvl]
+        m4 = jnp.stack(
+            [sx0 * sy0 * wl, sx1 * sy0 * wl, sx0 * sy1 * wl, sx1 * sy1 * wl],
+            axis=-1,
+        )  # [bs, q, heads, P, 4]
+
+        # taps flattened per (bs, head): [bs*heads, q*P], padded to 1024
+        idx_bh = idx.transpose(0, 2, 1, 3).reshape(bs * num_heads, num_q * P)
+        tap_pad = (-(num_q * P)) % 1024
+        if tap_pad:
+            idx_bh = jnp.pad(idx_bh, ((0, 0), (0, tap_pad)))
+        g = lane_gather(vt, idx_bh)  # [bs*heads, 4ch, taps_pad]
+        g = g[:, :, : num_q * P].reshape(bs, num_heads, 4, ch, num_q, P)
+        acc = acc + jnp.einsum(
+            "bhxcqp,bqhpx->bqhc",
+            g,
+            m4.astype(g.dtype),
+            preferred_element_type=jnp.float32,
+        )
+    return acc.reshape(bs, num_q, num_heads * ch).astype(value.dtype)

@@ -63,3 +63,35 @@ class TestInt8Matmul:
         b = np.asarray(int8_matmul_reference(x, w, sx, sw))
         # int32 accumulation is exact; only dequant rounding differs
         assert np.abs(a - b).max() < 1e-3
+
+
+class TestLaneGather:
+    """Lane-binned gather (the round-2 MSDA gather building block):
+    interpret-mode exactness for coherent and random index patterns."""
+
+    def test_matches_take_along_axis(self, rng):
+        from bevformer_tensorrt_tpu.ops.pallas.lane_gather import lane_gather
+
+        B, ch, HW, NT = 2, 32, 512, 1024
+        vt = rng.standard_normal((B, ch, HW)).astype(np.float32)
+        for pattern in ("coherent", "random"):
+            if pattern == "coherent":
+                idx = np.sort(rng.integers(0, HW, (B, NT)), axis=1).astype(np.int32)
+            else:
+                idx = rng.integers(0, HW, (B, NT)).astype(np.int32)
+            out = np.asarray(lane_gather(jnp.asarray(vt), jnp.asarray(idx), interpret=True))
+            ref = np.take_along_axis(vt, idx[:, None, :].repeat(ch, 1), axis=2)
+            np.testing.assert_allclose(out, ref, atol=1e-6, err_msg=pattern)
+
+    def test_bf16(self, rng):
+        from bevformer_tensorrt_tpu.ops.pallas.lane_gather import lane_gather
+
+        B, ch, HW, NT = 1, 16, 256, 1024
+        vt = rng.standard_normal((B, ch, HW)).astype(np.float32)
+        idx = rng.integers(0, HW, (B, NT)).astype(np.int32)
+        out = np.asarray(
+            lane_gather(jnp.asarray(vt, jnp.bfloat16), jnp.asarray(idx), interpret=True),
+            np.float32,
+        )
+        ref = np.take_along_axis(vt, idx[:, None, :].repeat(ch, 1), axis=2)
+        assert np.abs(out - ref).max() < 0.02
