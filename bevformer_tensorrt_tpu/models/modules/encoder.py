@@ -193,6 +193,11 @@ class BEVFormerEncoder(nn.Module):
         if K < nq:
             mask_flat = bev_mask.reshape(cfg.num_cams, nq)
             topv, topi = jax.lax.top_k(mask_flat, K)
+            # restore BEV-row-major ordering (top_k returns mask-value order;
+            # spatial ordering keeps the downstream gathers coherent)
+            order = jnp.argsort(topi, axis=1)
+            topi = jnp.take_along_axis(topi, order, axis=1)
+            topv = jnp.take_along_axis(topv, order, axis=1)
             ref_c = jnp.take_along_axis(
                 reference_points_cam, topi[..., None], axis=1
             ).reshape(cfg.num_cams, K, 1, -1)
