@@ -118,8 +118,14 @@ def voxel_pooling_prepare(cfg: BEVDetConfig, coor: np.ndarray, pad_to: Optional[
     def pad(x):
         if pad_to is None:
             return x.astype(np.int32)
+        if len(x) > pad_to:
+            raise ValueError(
+                f"voxel_pooling_prepare: {len(x)} in-grid frustum points exceed "
+                f"pad_to={pad_to}; raise pad_to or coarsen the grid (silently "
+                "truncating would drop LSS splat contributions)"
+            )
         out = np.full(pad_to, -1, np.int32)
-        out[: len(x)] = x[:pad_to]
+        out[: len(x)] = x
         return out
 
     return PoolingRanks(

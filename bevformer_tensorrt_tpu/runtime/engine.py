@@ -35,12 +35,20 @@ class TemporalState:
         self.prev_angle = np.float32(0.0)
         self.scene_token = None
 
-    def step_can_bus(self, can_bus: np.ndarray, scene_token) -> tuple[np.ndarray, float]:
-        """Returns (delta_can_bus, use_prev_bev)."""
+    def step_can_bus(
+        self, can_bus: np.ndarray, scene_token, has_prev: bool | None = None
+    ) -> tuple[np.ndarray, float]:
+        """Returns (delta_can_bus, use_prev_bev).
+
+        `has_prev` overrides the `self.prev_bev is not None` check for callers
+        that keep the recurrent BEV outside this object (the serving engine's
+        device-resident slot pool)."""
         can_bus = np.array(can_bus, np.float32, copy=True)
         tmp_pos = can_bus[:3].copy()
         tmp_angle = np.float32(can_bus[-1])
-        use_prev = 1.0 if (scene_token == self.scene_token and self.prev_bev is not None) else 0.0
+        if has_prev is None:
+            has_prev = self.prev_bev is not None
+        use_prev = 1.0 if (scene_token == self.scene_token and has_prev) else 0.0
         if use_prev:
             can_bus[:3] -= self.prev_pos
             can_bus[-1] -= self.prev_angle

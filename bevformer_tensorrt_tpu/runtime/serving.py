@@ -5,7 +5,11 @@ recurrent prev_bev round-tripping through the host every frame
 (det2trt/utils/tensorrt.py:56, tools/bevformer/evaluate_trt.py:144).  The
 TPU-native serving engine generalizes it:
 
-  * a device-resident pool of per-scene prev_bev slots [S, nq, 1, C],
+  * a device-resident pool of per-scene prev_bev slots [S+1, nq, 1, C]
+    (slot S is a scratch slot that absorbs padded-lane writes),
+  * an explicit scene -> slot allocation map with a free list: slots are
+    claimed when a scene's first frame is scheduled and released by
+    `finish_scene`; scenes beyond capacity queue until a slot frees,
   * a host-side scheduler that picks up to B ready frames from *different*
     scenes per step (frames within a scene are sequentially dependent —
     SURVEY.md §7 hard part (c)),
@@ -37,6 +41,13 @@ class FrameRequest:
     tag: Any = None         # caller's correlation id
 
 
+@dataclasses.dataclass
+class _SceneRecord:
+    state: TemporalState
+    slot: Optional[int] = None   # pool slot, claimed lazily when scheduled
+    has_prev: bool = False       # slot holds a valid prev_bev
+
+
 class ContinuousBatchingEngine:
     """Batched recurrent inference over a pool of scene slots."""
 
@@ -46,9 +57,12 @@ class ContinuousBatchingEngine:
         self.batch = batch
         self.max_scenes = max_scenes
         nq = cfg.bev_h * cfg.bev_w
-        self.pool = jnp.zeros((max_scenes, nq, 1, cfg.embed_dims), jnp.float32)
-        self.states: Dict[int, TemporalState] = {}
+        # slot `max_scenes` is scratch: padded lanes read zeros from and
+        # scatter garbage into it without touching any live scene's state.
+        self.pool = jnp.zeros((max_scenes + 1, nq, 1, cfg.embed_dims), jnp.float32)
+        self.scenes: Dict[int, _SceneRecord] = {}
         self.queues: Dict[int, collections.deque] = collections.defaultdict(collections.deque)
+        self._free_slots: List[int] = list(range(max_scenes))
         self.mesh = mesh
 
         def batched_step(variables, pool, slot_ids, images, use_prev, can_bus, l2i):
@@ -60,6 +74,9 @@ class ContinuousBatchingEngine:
             bev, classes, coords = jax.vmap(one, in_axes=(0, 0, 0, 0, 0))(
                 images, prev, use_prev, can_bus, l2i
             )
+            # duplicate slot ids never occur for live lanes (slots are unique
+            # per scene); padded lanes all target the scratch slot, where
+            # scatter order doesn't matter.
             pool = pool.at[slot_ids].set(bev)
             return pool, classes, coords
 
@@ -78,16 +95,32 @@ class ContinuousBatchingEngine:
 
     def submit(self, req: FrameRequest) -> None:
         self.queues[req.scene_id].append(req)
-        if req.scene_id not in self.states:
-            assert len(self.states) < self.max_scenes, "scene pool full"
-            self.states[req.scene_id] = TemporalState()
+        if req.scene_id not in self.scenes:
+            self.scenes[req.scene_id] = _SceneRecord(state=TemporalState())
+
+    def finish_scene(self, scene_id: int) -> None:
+        """Release a completed scene's pool slot (call after its last frame's
+        results are consumed). Pending queued frames for the scene are
+        dropped."""
+        rec = self.scenes.pop(scene_id, None)
+        self.queues.pop(scene_id, None)
+        if rec is not None and rec.slot is not None:
+            self._free_slots.append(rec.slot)
 
     def _ready(self) -> List[FrameRequest]:
-        """One pending frame per scene, up to batch size (oldest first)."""
+        """One pending frame per *slot-holding* scene, up to batch size.
+        Scenes without a slot claim one from the free list; when none is
+        free they wait (backpressure instead of state collisions)."""
         out = []
         for sid, q in self.queues.items():
-            if q and len(out) < self.batch:
-                out.append(q.popleft())
+            if not q or len(out) >= self.batch:
+                continue
+            rec = self.scenes[sid]
+            if rec.slot is None:
+                if not self._free_slots:
+                    continue
+                rec.slot = self._free_slots.pop()
+            out.append(q.popleft())
         return out
 
     def step(self) -> List[Tuple[Any, np.ndarray, np.ndarray]]:
@@ -97,20 +130,21 @@ class ContinuousBatchingEngine:
         if not reqs:
             return []
         B = self.batch
-        nq = self.cfg.bev_h * self.cfg.bev_w
-        slot_ids = np.zeros(B, np.int32)
+        # padded lanes target the scratch slot: they read zeros and their
+        # (garbage) bev write lands where no scene lives.
+        slot_ids = np.full(B, self.max_scenes, np.int32)
         use_prev = np.zeros(B, np.float32)
         imgs = np.zeros((B,) + reqs[0].image.shape, np.float32)
         cbs = np.zeros((B, self.cfg.can_bus_dims), np.float32)
         l2is = np.zeros((B,) + reqs[0].lidar2img.shape, np.float32)
         for i, r in enumerate(reqs):
-            st = self.states[r.scene_id]
-            delta_cb, up = st.step_can_bus(r.can_bus, r.scene_token or r.scene_id)
-            # recurrent state lives in the device pool; mark the host state so
-            # step_can_bus's "have prev" check reflects it
-            st.prev_bev = True
+            rec = self.scenes[r.scene_id]
+            delta_cb, up = rec.state.step_can_bus(
+                r.can_bus, r.scene_token or r.scene_id, has_prev=rec.has_prev
+            )
             # first frame of a scene: pool slot holds zeros and up == 0
-            slot_ids[i] = r.scene_id % self.max_scenes
+            rec.has_prev = True
+            slot_ids[i] = rec.slot
             use_prev[i] = up
             imgs[i] = r.image
             cbs[i] = delta_cb
@@ -132,5 +166,10 @@ class ContinuousBatchingEngine:
     def drain(self) -> List[Tuple[Any, np.ndarray, np.ndarray]]:
         results = []
         while any(self.queues.values()):
-            results += self.step()
+            got = self.step()
+            if not got:
+                # every queued scene is waiting on a slot — nothing can make
+                # progress until finish_scene releases one.
+                break
+            results += got
         return results

@@ -64,8 +64,11 @@ def _loss_single_level(
     num_pos = valid.sum().astype(jnp.float32)
     cls_loss = sigmoid_focal_loss(cls_logits, labels, num_classes).sum() * cls_weight
     code_ok = jnp.isfinite(targets).all(-1) & pos_mask
+    # reference code_weights [1.0]*8 + [0.2, 0.2] (bevformer_head.py:71,427):
+    # velocity dims are down-weighted 5x in the regression loss.
+    code_w = jnp.asarray([1.0] * 8 + [0.2] * 2, bbox_preds.dtype)
     bbox_loss = (
-        l1_loss(bbox_preds, targets).sum(-1) * code_ok.astype(bbox_preds.dtype)
+        (l1_loss(bbox_preds, targets) * code_w).sum(-1) * code_ok.astype(bbox_preds.dtype)
     ).sum() * bbox_weight
     return cls_loss, bbox_loss, num_pos
 

@@ -1,0 +1,299 @@
+"""Module-level numerical parity vs torch oracles of the reference modules.
+
+Round-1 gap (VERDICT #2): the torch checkpoint importer was only structurally
+tested; a silent layout permutation in the offset/weight projections would
+pass a shape check and destroy NDS.  These tests build torch oracles that
+follow the reference forward math line-by-line (cited per class), create
+random reference-layout torch weights, map them through the importer's
+conversion convention, and assert the flax modules agree to ~1e-5.
+
+Oracles follow (do not import — the reference needs the full mmcv stack):
+  * TemporalSelfAttentionTRT.forward_trt
+    (det2trt/models/modules/temporal_self_attention.py:118-313)
+  * SpatialCrossAttentionTRTP.forward_trt + MSDeformableAttention3D z-anchor
+    reshapes (det2trt/models/modules/spatial_cross_attention.py:233-273 and
+    :460-520; CPU path = F.grid_sample bilinear/zeros/align_corners=False,
+    :560-660)
+  * CustomMSDeformableAttention.forward_trt
+    (det2trt/models/modules/decoder.py:195-345)
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+from bevformer_tensorrt_tpu.models.modules.attention import (
+    CustomMSDeformableAttention,
+    MSDeformableAttention3D,
+    SpatialCrossAttention,
+    TemporalSelfAttention,
+)
+
+
+def _lin_params(linear: nn.Linear):
+    """torch Linear -> flax Dense params (the importer's _lin convention)."""
+    out = {"kernel": linear.weight.detach().numpy().T}
+    if linear.bias is not None:
+        out["bias"] = linear.bias.detach().numpy()
+    return out
+
+
+def msda_torch(value, shapes, loc, w):
+    """mmcv multi_scale_deformable_attn_pytorch: F.grid_sample per level,
+    weight, sum (the reference CPU path, spatial_cross_attention.py:560-660).
+
+    value [B, keys, H, ch]; loc [B, nq, H, L, P, 2] in [0,1]; w same minus 2.
+    Returns [B, nq, H*ch].
+    """
+    B, _, H, ch = value.shape
+    nq, L, P = loc.shape[1], loc.shape[3], loc.shape[4]
+    out = torch.zeros(B * H, ch, nq, dtype=value.dtype)
+    start = 0
+    for lvl, (Hh, Ww) in enumerate(shapes):
+        v = (
+            value[:, start : start + Hh * Ww]
+            .permute(0, 2, 3, 1)
+            .reshape(B * H, ch, Hh, Ww)
+        )
+        g = 2 * loc[:, :, :, lvl] - 1  # [B, nq, H, P, 2]
+        g = g.permute(0, 2, 1, 3, 4).reshape(B * H, nq, P, 2)
+        sv = F.grid_sample(
+            v, g, mode="bilinear", padding_mode="zeros", align_corners=False
+        )  # [B*H, ch, nq, P]
+        wl = w[:, :, :, lvl].permute(0, 2, 1, 3).reshape(B * H, 1, nq, P)
+        out = out + (sv * wl).sum(-1)
+        start += Hh * Ww
+    return out.reshape(B, H * ch, nq).permute(0, 2, 1)
+
+
+class TSAOracle(nn.Module):
+    """temporal_self_attention.py:118-313 (TRT forward, CPU sampling)."""
+
+    def __init__(self, C, H, P, L=1, Q=2):
+        super().__init__()
+        self.C, self.H, self.P, self.L, self.Q = C, H, P, L, Q
+        self.sampling_offsets = nn.Linear(2 * C, Q * H * L * P * 2)
+        self.attention_weights = nn.Linear(2 * C, Q * H * L * P)
+        self.value_proj = nn.Linear(C, C)
+        self.output_proj = nn.Linear(C, C)
+
+    def forward(self, query, value, identity, query_pos, reference_points, shapes):
+        # query [1, nq, C]; value [2, nq, C] = [prev, cur]; ref [2, nq, 1, 2]
+        C, H, P, L, Q = self.C, self.H, self.P, self.L, self.Q
+        bs, nq = 1, query.shape[1]
+        if query_pos is not None:
+            query = query + query_pos
+        qcat = torch.cat([value[:1], query], -1)  # [1, nq, 2C]
+
+        v = self.value_proj(value).reshape(Q, -1, H, C // H)
+        off = self.sampling_offsets(qcat).view(bs, nq, H, Q, L, P, 2)
+        attn = self.attention_weights(qcat).view(bs, nq, H, Q, L * P).softmax(-1)
+        attn = attn.view(bs, nq, H, Q, L, P)
+        attn = attn.permute(0, 3, 1, 2, 4, 5).reshape(Q, nq, H, L, P)
+        off = off.permute(0, 3, 1, 2, 4, 5, 6).reshape(Q, nq, H, L, P, 2)
+
+        norm = torch.tensor([[float(w), float(h)] for (h, w) in shapes])
+        loc = (
+            reference_points[:, :, None, :, None, :]
+            + off / norm[None, None, None, :, None, :]
+        )  # [Q, nq, H, L, P, 2]
+        out = msda_torch(v, shapes, loc, attn)  # [Q, nq, H*ch]
+        out = out.permute(1, 2, 0).view(nq, C, bs, Q).mean(-1).permute(2, 0, 1)
+        return self.output_proj(out) + (query if identity is None else identity)
+
+
+class SCAOracle(nn.Module):
+    """spatial_cross_attention.py TRTP: per-camera MSDA3D with z-anchor point
+    split (:460-520), bev_mask-weighted camera sum (:233-273)."""
+
+    def __init__(self, C, H, L, P):
+        super().__init__()
+        self.C, self.H, self.L, self.P = C, H, L, P
+        self.sampling_offsets = nn.Linear(C, H * L * P * 2)
+        self.attention_weights = nn.Linear(C, H * L * P)
+        self.value_proj = nn.Linear(C, C)
+        self.output_proj = nn.Linear(C, C)
+
+    def forward(self, query, value, residual, query_pos, ref_cam, bev_mask, shapes):
+        # query [1, nq, C]; value [cams, keys, C]; ref_cam [cams, nq, Z, 2]
+        C, H, L, P = self.C, self.H, self.L, self.P
+        cams, nq = ref_cam.shape[0], query.shape[1]
+        Z = ref_cam.shape[2]
+        inp_residual = query if residual is None else residual
+        if query_pos is not None:
+            query = query + query_pos
+        q = query.repeat(cams, 1, 1)  # [cams, nq, C]
+
+        v = self.value_proj(value).view(cams, -1, H, C // H)
+        off = self.sampling_offsets(q).view(cams, nq, H, L, P, 2)
+        attn = self.attention_weights(q).view(cams, nq, H, L * P).softmax(-1)
+        attn = attn.view(cams, nq, H, L, P)
+
+        norm = torch.tensor([[float(w), float(h)] for (h, w) in shapes])
+        off = off / norm[None, None, None, :, None, :]
+        # z-anchor split: points (P) -> (P//Z, Z) with z minor (:484-505)
+        off = off.view(cams, nq, H, L, P // Z, Z, 2)
+        ref = ref_cam[:, :, None, None, None, :, :]
+        loc = (ref + off).view(cams, nq, H, L, P, 2)
+
+        out = msda_torch(v, shapes, loc, attn)  # [cams, nq, C]
+        slots = (out * bev_mask).sum(0, keepdims=True)
+        return self.output_proj(slots) + inp_residual
+
+
+class DecoderCAOracle(nn.Module):
+    """decoder.py:195-345 CustomMSDeformableAttention (standard deformable)."""
+
+    def __init__(self, C, H, L, P):
+        super().__init__()
+        self.C, self.H, self.L, self.P = C, H, L, P
+        self.sampling_offsets = nn.Linear(C, H * L * P * 2)
+        self.attention_weights = nn.Linear(C, H * L * P)
+        self.value_proj = nn.Linear(C, C)
+        self.output_proj = nn.Linear(C, C)
+
+    def forward(self, query, value, identity, query_pos, reference_points, shapes):
+        C, H, L, P = self.C, self.H, self.L, self.P
+        bs, nq = 1, query.shape[1]
+        if identity is None:
+            identity = query
+        if query_pos is not None:
+            query = query + query_pos
+        v = self.value_proj(value).view(bs, -1, H, C // H)
+        off = self.sampling_offsets(query).view(bs, nq, H, L, P, 2)
+        attn = self.attention_weights(query).view(bs, nq, H, L * P).softmax(-1)
+        attn = attn.view(bs, nq, H, L, P)
+        norm = torch.tensor([[float(w), float(h)] for (h, w) in shapes])
+        loc = (
+            reference_points[:, :, None, :, None, :]
+            + off / norm[None, None, None, :, None, :]
+        )
+        out = msda_torch(v, shapes, loc, attn)
+        return self.output_proj(out) + identity
+
+
+def test_temporal_self_attention_parity(rng):
+    C, H, P, Q = 64, 8, 4, 2
+    bev_h = bev_w = 8
+    nq = bev_h * bev_w
+    torch.manual_seed(0)
+    oracle = TSAOracle(C, H, P).double()
+
+    query = rng.standard_normal((1, nq, C))
+    value = rng.standard_normal((Q, nq, C))
+    qpos = rng.standard_normal((1, nq, C))
+    ref = rng.random((Q, nq, 1, 2))
+
+    with torch.no_grad():
+        want = oracle(
+            torch.tensor(query), torch.tensor(value), None, torch.tensor(qpos),
+            torch.tensor(ref), ((bev_h, bev_w),),
+        ).numpy()
+
+    params = {
+        "sampling_offsets": _lin_params(oracle.sampling_offsets),
+        "attention_weights": _lin_params(oracle.attention_weights),
+        "value_proj": _lin_params(oracle.value_proj),
+        "output_proj": _lin_params(oracle.output_proj),
+    }
+    mod = TemporalSelfAttention(embed_dims=C, num_heads=H, num_points=P)
+    got = mod.apply(
+        {"params": params},
+        jnp.asarray(query, jnp.float32),
+        jnp.asarray(value, jnp.float32),
+        None,
+        jnp.asarray(qpos, jnp.float32),
+        jnp.asarray(ref, jnp.float32),
+        ((bev_h, bev_w),),
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("cam_budget", [1.0, 0.5])
+def test_spatial_cross_attention_parity(rng, cam_budget):
+    """cam_budget=1.0 is the exact path; 0.5 checks the top-K compaction is
+    numerically equivalent when every camera sees fewer queries than K."""
+    C, H, L, P, Z, cams = 64, 8, 2, 8, 4, 3
+    nq = 256
+    shapes = ((12, 20), (6, 10))
+    keys = sum(h * w for h, w in shapes)
+    torch.manual_seed(1)
+    oracle = SCAOracle(C, H, L, P).double()
+
+    query = rng.standard_normal((1, nq, C))
+    value = rng.standard_normal((cams, keys, C))
+    ref_cam = rng.random((cams, nq, Z, 2))
+    # sparse visibility (~30% per camera) with hit-count normalized weights
+    vis = rng.random((cams, nq, 1)) < 0.3
+    mask = vis.astype(np.float64)
+    mask = mask / np.clip(mask.sum(0, keepdims=True), 1e-4, None)
+
+    with torch.no_grad():
+        want = oracle(
+            torch.tensor(query), torch.tensor(value), None, None,
+            torch.tensor(ref_cam), torch.tensor(mask), shapes,
+        ).numpy()
+
+    params = {
+        "deformable_attention": {
+            "sampling_offsets": _lin_params(oracle.sampling_offsets),
+            "attention_weights": _lin_params(oracle.attention_weights),
+            "value_proj": _lin_params(oracle.value_proj),
+        },
+        "output_proj": _lin_params(oracle.output_proj),
+    }
+    mod = SpatialCrossAttention(
+        embed_dims=C, num_cams=cams, num_heads=H, num_levels=L, num_points=P,
+        cam_budget=cam_budget,
+    )
+    got = mod.apply(
+        {"params": params},
+        jnp.asarray(query, jnp.float32),
+        jnp.asarray(value, jnp.float32),
+        None,
+        None,
+        jnp.asarray(ref_cam.reshape(cams, nq, Z * 2), jnp.float32),
+        jnp.asarray(mask, jnp.float32),
+        shapes,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-5, atol=3e-5)
+
+
+def test_decoder_cross_attention_parity(rng):
+    C, H, L, P = 64, 8, 1, 4
+    bev_h = bev_w = 10
+    nq = 36
+    torch.manual_seed(2)
+    oracle = DecoderCAOracle(C, H, L, P).double()
+
+    query = rng.standard_normal((1, nq, C))
+    value = rng.standard_normal((1, bev_h * bev_w, C))
+    qpos = rng.standard_normal((1, nq, C))
+    ref = rng.random((1, nq, 1, 2))
+
+    with torch.no_grad():
+        want = oracle(
+            torch.tensor(query), torch.tensor(value), None, torch.tensor(qpos),
+            torch.tensor(ref), ((bev_h, bev_w),),
+        ).numpy()
+
+    params = {
+        "sampling_offsets": _lin_params(oracle.sampling_offsets),
+        "attention_weights": _lin_params(oracle.attention_weights),
+        "value_proj": _lin_params(oracle.value_proj),
+        "output_proj": _lin_params(oracle.output_proj),
+    }
+    mod = CustomMSDeformableAttention(embed_dims=C, num_heads=H, num_levels=L, num_points=P)
+    got = mod.apply(
+        {"params": params},
+        jnp.asarray(query, jnp.float32),
+        jnp.asarray(value, jnp.float32),
+        None,
+        jnp.asarray(qpos, jnp.float32),
+        jnp.asarray(ref, jnp.float32),
+        ((bev_h, bev_w),),
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
