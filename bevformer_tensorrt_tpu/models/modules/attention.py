@@ -22,9 +22,26 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ...ops import multi_scale_deformable_attn, multi_head_attention
+from ...ops import (
+    multi_head_attention,
+    multi_scale_deformable_attn,
+    multi_scale_deformable_attn_sorted,
+)
 from ...quant.qdq import QDQ
 from ..layers import QDense
+import functools
+
+
+def resolve_msda_impl(name: str):
+    """Kernel-variant dispatch (the reference's TRT/TRTP/TRTP2 plugin-variant
+    tier collapsed to one knob, configs/bevformer.py `msda_impl`):
+      'jnp'    — chunked XLA path (differentiable; CPU/GPU/TPU)
+      'sorted' — Pallas sorted-tap gather kernel (ops/pallas/msda_gather)
+      'auto'   — 'sorted' on TPU, 'jnp' elsewhere
+    """
+    if name == "sorted" or (name == "auto" and jax.default_backend() == "tpu"):
+        return functools.partial(multi_scale_deformable_attn_sorted, packed=True)
+    return multi_scale_deformable_attn
 
 
 class TemporalSelfAttention(nn.Module):
@@ -43,6 +60,7 @@ class TemporalSelfAttention(nn.Module):
     num_points: int = 4
     num_bev_queue: int = 2
     quant: bool = False
+    msda_impl: str = "auto"
 
     @nn.compact
     def __call__(
@@ -76,7 +94,7 @@ class TemporalSelfAttention(nn.Module):
         off = off.reshape(nq, H, Q, L * P * 2).transpose(2, 0, 1, 3)
         attn = attn.reshape(nq, H, Q, L * P).transpose(2, 0, 1, 3)
 
-        out = multi_scale_deformable_attn(
+        out = resolve_msda_impl(self.msda_impl)(
             v, reference_points.reshape(Q, nq, 1, 2), off, attn, spatial_shapes
         )  # [Q, Nq, C]
         out = out.mean(axis=0, keepdims=True)  # fuse history & current
@@ -104,6 +122,7 @@ class MSDeformableAttention3D(nn.Module):
     num_points: int = 8
     cam_budget: float = 0.5  # fraction of queries processed per camera
     quant: bool = False
+    msda_impl: str = "auto"
 
     @nn.compact
     def __call__(
@@ -138,7 +157,7 @@ class MSDeformableAttention3D(nn.Module):
                 ).reshape(cams, K, 1, -1)
             off_c = off[topi]     # [cams, K, H, L*P*2]
             attn_c = attn[topi]   # [cams, K, H, L*P]
-            out_k = multi_scale_deformable_attn(
+            out_k = resolve_msda_impl(self.msda_impl)(
                 v, ref_c, off_c, attn_c, spatial_shapes
             )  # [cams, K, C]
             weighted = (out_k * topv[..., None]).astype(out_k.dtype)
@@ -149,7 +168,7 @@ class MSDeformableAttention3D(nn.Module):
             )
             return slots[None]
         ref = reference_points_cam.reshape(cams, nq, 1, -1)
-        out = multi_scale_deformable_attn(
+        out = resolve_msda_impl(self.msda_impl)(
             v,
             ref,
             jnp.broadcast_to(off[None], (cams, nq, H, L * P * 2)),
@@ -173,6 +192,7 @@ class SpatialCrossAttention(nn.Module):
     num_points: int = 8
     cam_budget: float = 0.5
     quant: bool = False
+    msda_impl: str = "auto"
 
     @nn.compact
     def __call__(
@@ -197,6 +217,7 @@ class SpatialCrossAttention(nn.Module):
             num_points=self.num_points,
             cam_budget=self.cam_budget,
             quant=self.quant,
+            msda_impl=self.msda_impl,
             name="deformable_attention",
         )(query, value, reference_points_cam, bev_mask, spatial_shapes, compaction)
 
@@ -213,6 +234,7 @@ class CustomMSDeformableAttention(nn.Module):
     num_levels: int = 1
     num_points: int = 4
     quant: bool = False
+    msda_impl: str = "auto"
 
     @nn.compact
     def __call__(
@@ -235,7 +257,7 @@ class CustomMSDeformableAttention(nn.Module):
         v = v.reshape(1, -1, H, C // H)
         off = QDense(H * L * P * 2, quant=self.quant, name="sampling_offsets")(query)
         attn = QDense(H * L * P, quant=self.quant, name="attention_weights")(query)
-        out = multi_scale_deformable_attn(
+        out = resolve_msda_impl(self.msda_impl)(
             v,
             reference_points.reshape(1, nq, 1, 2),
             off.reshape(1, nq, H, L * P * 2),

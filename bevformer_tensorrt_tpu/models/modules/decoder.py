@@ -39,6 +39,7 @@ class DecoderLayer(nn.Module):
             num_levels=1,
             num_points=cfg.num_points_decoder,
             quant=cfg.quant,
+            msda_impl=cfg.msda_impl,
             name="cross_attn",
         )(query, value, identity, query_pos, reference_points_2d, spatial_shapes)
         query = nn.LayerNorm(name="norm2")(query)

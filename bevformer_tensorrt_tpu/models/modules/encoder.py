@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...configs.bevformer import BEVFormerConfig
+from ...parallel.ops import shard_bev_queries
 from ..layers import FFN
 from .attention import SpatialCrossAttention, TemporalSelfAttention
 
@@ -116,6 +117,7 @@ class BEVFormerLayer(nn.Module):
             num_heads=cfg.num_heads,
             num_points=cfg.num_points_self,
             quant=cfg.quant,
+            msda_impl=cfg.msda_impl,
             name="self_attn",
         )(
             query,
@@ -136,6 +138,7 @@ class BEVFormerLayer(nn.Module):
             num_points=cfg.num_points_cross,
             cam_budget=cfg.cam_budget,
             quant=cfg.quant,
+            msda_impl=cfg.msda_impl,
             name="cross_attn",
         )(
             query,
@@ -193,9 +196,24 @@ class BEVFormerEncoder(nn.Module):
         if K < nq:
             mask_flat = bev_mask.reshape(cfg.num_cams, nq)
             topv, topi = jax.lax.top_k(mask_flat, K)
-            # restore BEV-row-major ordering (top_k returns mask-value order;
-            # spatial ordering keeps the downstream gathers coherent)
-            order = jnp.argsort(topi, axis=1)
+            # sigma ordering: sort each camera's selected queries by the
+            # projected image position (row-major pixel key at the finest
+            # level) of the middle z-anchor — the sorted-tap MSDA kernel's
+            # 128-tap rows then cluster in few key panels.  Semantically
+            # free: the output scatter at `topi` un-permutes.  Invisible
+            # selections (mask 0) sort to the end.
+            H0, W0 = spatial_shapes[0]
+            ref_all = jnp.take_along_axis(
+                reference_points_cam, topi[..., None], axis=1
+            )  # [cams, K, pillar*2] — per query (x, y) per z-anchor
+            zmid = cfg.num_points_in_pillar // 2
+            u = ref_all[..., 2 * zmid]
+            v = ref_all[..., 2 * zmid + 1]
+            skey = jnp.clip(jnp.floor(v * H0), 0, H0 - 1) * W0 + jnp.clip(
+                jnp.floor(u * W0), 0, W0 - 1
+            )
+            skey = jnp.where(topv > 0, skey, jnp.float32(H0 * W0 + 1))
+            order = jnp.argsort(skey, axis=1)
             topi = jnp.take_along_axis(topi, order, axis=1)
             topv = jnp.take_along_axis(topv, order, axis=1)
             ref_c = jnp.take_along_axis(
@@ -203,7 +221,11 @@ class BEVFormerEncoder(nn.Module):
             ).reshape(cfg.num_cams, K, 1, -1)
             compaction = (topi, topv, ref_c)
 
-        output = bev_query
+        # sequence parallelism over the BEV-query axis (SURVEY §2.6 TPU-native
+        # column): under an ambient mesh the 40k-query tensors split over tp;
+        # identity with no mesh (single chip, CPU tests).
+        output = shard_bev_queries(bev_query)
+        bev_pos = shard_bev_queries(bev_pos)
         for i in range(cfg.encoder_layers):
             # first-frame mux (encoder.py:587-589): when use_prev_bev == 0 the
             # history slot is replaced by the current query.
@@ -220,4 +242,5 @@ class BEVFormerEncoder(nn.Module):
                 layer_prev,
                 compaction,
             )
+            output = shard_bev_queries(output)
         return output

@@ -10,6 +10,7 @@ from .grid_sample import grid_sample_2d, grid_sample_3d, grid_sampler
 from .msda import (
     multi_scale_deformable_attn,
     multi_scale_deformable_attn_reference,
+    multi_scale_deformable_attn_sorted,
     msda_sampling_locations,
 )
 from .rotate import rotate
@@ -23,6 +24,7 @@ __all__ = [
     "grid_sample_3d",
     "grid_sampler",
     "multi_scale_deformable_attn",
+    "multi_scale_deformable_attn_sorted",
     "msda_sampling_locations",
     "rotate",
     "bev_pool_v2",

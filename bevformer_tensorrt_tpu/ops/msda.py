@@ -269,30 +269,88 @@ def multi_scale_deformable_attn_reference(
     return out.reshape(bs, num_q, num_heads * ch).astype(value.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("spatial_shapes",))
-def multi_scale_deformable_attn_lane(
+def _bilinear_slot_terms(loc_l, H, W):
+    """Per-tap bilinear terms for one level with the clamped-window remap.
+
+    loc_l [..., 2] normalized; returns (key [...] i32 in [0, H*W),
+    m4 [..., 4] f32 slot weights for the packed corners (k, k+1, k+W, k+W+1)).
+    A corner falling outside the clamped 2x2 window is always out-of-image
+    (weight 0), so the remap is exact — same math as `_msda_chunk`.
+    """
+    x = loc_l[..., 0] * W - 0.5
+    y = loc_l[..., 1] * H - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx1 = x - x0
+    wy1 = y - y0
+    ix0 = x0.astype(jnp.int32)
+    iy0 = y0.astype(jnp.int32)
+    bx = jnp.clip(ix0, 0, max(W - 2, 0))
+    by = jnp.clip(iy0, 0, max(H - 2, 0))
+    dx = ix0 - bx
+    dy = iy0 - by
+    ax0 = (1 - wx1) * ((ix0 >= 0) & (ix0 < W))
+    ax1 = wx1 * ((ix0 + 1 >= 0) & (ix0 + 1 < W))
+    ay0 = (1 - wy1) * ((iy0 >= 0) & (iy0 < H))
+    ay1 = wy1 * ((iy0 + 1 >= 0) & (iy0 + 1 < H))
+
+    def slot(d, a0, a1):
+        s0 = jnp.where(d == 0, a0, jnp.where(d == -1, a1, 0.0))
+        s1 = jnp.where(d == 0, a1, jnp.where(d == 1, a0, 0.0))
+        return s0, s1
+
+    sx0, sx1 = slot(dx, ax0, ax1)
+    sy0, sy1 = slot(dy, ay0, ay1)
+    key = by * W + bx
+    m4 = jnp.stack([sx0 * sy0, sx1 * sy0, sx0 * sy1, sx1 * sy1], axis=-1)
+    return key, m4
+
+
+def _pack_bf16_pairs(vt):
+    """[B, 4ch, HWp] -> [B, 2ch, HWp] uint32: channel pairs (2k, 2k+1) as
+    (hi, lo) bf16 halves — Mosaic dynamic_gather needs 32-bit data."""
+    u16 = jax.lax.bitcast_convert_type(
+        vt.astype(jnp.bfloat16), jnp.uint16
+    ).astype(jnp.uint32)
+    return (u16[:, 0::2, :] << 16) | u16[:, 1::2, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spatial_shapes", "packed", "interpret", "corner_groups"),
+)
+def multi_scale_deformable_attn_sorted(
     value: jax.Array,
     reference_points: jax.Array,
     sampling_offsets: jax.Array,
     attention_weights: jax.Array,
     spatial_shapes: Tuple[Tuple[int, int], ...],
+    packed: bool = True,
+    interpret: bool = False,
+    corner_groups: int | None = None,
 ) -> jax.Array:
-    """MSDA with the Pallas lane-binned gather (ops/pallas/lane_gather).
+    """MSDA through the Pallas sorted-tap gather kernel (pallas/msda_gather).
 
-    Same contract as `multi_scale_deformable_attn`.  The corner-packed
-    value tables are transposed to [bs*heads, 4*ch, HW_padded] (keys on
-    lanes) and the bilinear taps resolve through in-VMEM vreg lane-gathers
-    — measured 4-8x the XLA gather rate on v5e without binning (spatially
-    coherent BEV-query taps), 25x+ with span-1 binning (round-2 work).
-    TPU-only (Mosaic); use the default op elsewhere.
+    Same contract and semantics as `multi_scale_deformable_attn` (raw-logit
+    softmax inside, corner-packed bilinear, torch grid-sample border rules).
+    EXACT for any query order; fastest when callers present queries sorted
+    by projected image position so each 128-tap row clusters in few panels
+    (the encoder's camera compaction provides that order).
+
+    packed=True stores the tables as u32 bf16-pairs (TPU production path:
+    half the VMEM + vregs); packed=False keeps f32 tables (fp32-exact,
+    used by interpret-mode tests).
     """
-    from .pallas.lane_gather import lane_gather
+    from .pallas.msda_gather import msda_gather_sorted
 
     bs, num_keys, num_heads, ch = value.shape
     num_q = reference_points.shape[1]
     L = len(spatial_shapes)
     P = attention_weights.shape[-1] // L
+    rows = L * P
+    B = bs * num_heads
 
+    q_pad = (-num_q) % 128
     weights = jax.nn.softmax(attention_weights.astype(jnp.float32), axis=-1)
     weights = weights.reshape(bs, num_q, num_heads, L, P)
     loc = msda_sampling_locations(
@@ -301,63 +359,78 @@ def multi_scale_deformable_attn_lane(
         spatial_shapes,
         num_heads,
     )  # [bs, q, heads, L, P, 2]
+    if q_pad:
+        loc = jnp.pad(loc, ((0, 0), (0, q_pad)) + ((0, 0),) * 4)
+        weights = jnp.pad(weights, ((0, 0), (0, q_pad)) + ((0, 0),) * 3)
+    QB = (num_q + q_pad) // 128
 
+    # ---- concatenated corner-packed tables, keys padded per level --------
     starts = [0]
     for h, w in spatial_shapes:
         starts.append(starts[-1] + h * w)
-
-    acc = jnp.zeros((bs, num_q, num_heads, ch), jnp.float32)
+    tables = []
+    level_base = []  # starting PANEL of each level in the concat table
+    panels = 0
     for lvl, (H, W) in enumerate(spatial_shapes):
         v4 = _corner_pack(value[:, starts[lvl] : starts[lvl + 1]], H, W)
-        # -> transposed table [bs*heads, 4ch, HW_pad] (keys minor)
+        vt = v4.transpose(0, 2, 3, 1).reshape(B, 4 * ch, H * W)
         hw_pad = (-(H * W)) % 128
-        vt = v4.transpose(0, 2, 3, 1).reshape(bs * num_heads, 4 * ch, H * W)
         if hw_pad:
             vt = jnp.pad(vt, ((0, 0), (0, 0), (0, hw_pad)))
+        tables.append(vt)
+        level_base.append(panels)
+        panels += (H * W + hw_pad) // 128
+    table = jnp.concatenate(tables, axis=-1)  # [B, 4ch, HWp] f32-ish
+    table = _pack_bf16_pairs(table) if packed else table.astype(jnp.float32)
 
-        x = loc[..., lvl, :, 0] * W - 0.5
-        y = loc[..., lvl, :, 1] * H - 0.5
-        x0 = jnp.floor(x)
-        y0 = jnp.floor(y)
-        wx1 = x - x0
-        wy1 = y - y0
-        ix0 = x0.astype(jnp.int32)
-        iy0 = y0.astype(jnp.int32)
-        bx = jnp.clip(ix0, 0, max(W - 2, 0))
-        by = jnp.clip(iy0, 0, max(H - 2, 0))
-        dx = ix0 - bx
-        dy = iy0 - by
-        ax0 = (1 - wx1) * ((ix0 >= 0) & (ix0 < W))
-        ax1 = wx1 * ((ix0 + 1 >= 0) & (ix0 + 1 < W))
-        ay0 = (1 - wy1) * ((iy0 >= 0) & (iy0 < H))
-        ay1 = wy1 * ((iy0 + 1 >= 0) & (iy0 + 1 < H))
+    # ---- per-(level, point) tap rows ------------------------------------
+    keys = []
+    m4s = []
+    for lvl, (H, W) in enumerate(spatial_shapes):
+        key, m4 = _bilinear_slot_terms(loc[:, :, :, lvl], H, W)  # [bs,q,h,P(,4)]
+        keys.append(key + level_base[lvl] * 128)
+        m4s.append(m4 * weights[:, :, :, lvl, :, None])
+    key = jnp.stack(keys, axis=3)  # [bs, qp, heads, L, P]
+    m4 = jnp.stack(m4s, axis=3)    # [bs, qp, heads, L, P, 4]
 
-        def slot(d, a0, a1):
-            s0 = jnp.where(d == 0, a0, jnp.where(d == -1, a1, 0.0))
-            s1 = jnp.where(d == 0, a1, jnp.where(d == 1, a0, 0.0))
-            return s0, s1
+    # [bs, qp, heads, L, P] -> [B, QB, rows, 128]
+    key = key.transpose(0, 2, 3, 4, 1).reshape(B, rows, QB, 128).transpose(0, 2, 1, 3)
+    m4 = (
+        m4.transpose(0, 2, 3, 4, 5, 1)
+        .reshape(B, rows, 4, QB, 128)
+        .transpose(0, 3, 1, 2, 4)
+    )  # [B, QB, rows, 4, 128]
 
-        sx0, sx1 = slot(dx, ax0, ax1)
-        sy0, sy1 = slot(dy, ay0, ay1)
+    panel = key // 128
+    pmin = panel.min(-1).astype(jnp.int32)            # [B, QB, rows]
+    pspan = (panel.max(-1) - pmin + 1).astype(jnp.int32)
+    lane = (key - pmin[..., None] * 128).astype(jnp.int32)
+    m4 = m4.astype(jnp.float32)
 
-        idx = by * W + bx  # [bs, q, heads, P]
-        wl = weights[:, :, :, lvl]
-        m4 = jnp.stack(
-            [sx0 * sy0 * wl, sx1 * sy0 * wl, sx0 * sy1 * wl, sx1 * sy1 * wl],
-            axis=-1,
-        )  # [bs, q, heads, P, 4]
-
-        # taps flattened per (bs, head): [bs*heads, q*P], padded to 1024
-        idx_bh = idx.transpose(0, 2, 1, 3).reshape(bs * num_heads, num_q * P)
-        tap_pad = (-(num_q * P)) % 1024
-        if tap_pad:
-            idx_bh = jnp.pad(idx_bh, ((0, 0), (0, tap_pad)))
-        g = lane_gather(vt, idx_bh)  # [bs*heads, 4ch, taps_pad]
-        g = g[:, :, : num_q * P].reshape(bs, num_heads, 4, ch, num_q, P)
-        acc = acc + jnp.einsum(
-            "bhxcqp,bqhpx->bqhc",
-            g,
-            m4.astype(g.dtype),
-            preferred_element_type=jnp.float32,
+    # v5e VMEM is ~16 MB scoped and the table block is double-buffered
+    # across the grid's (cam*head) axis: split the 4 packed corners into
+    # groups when one table block would exceed the budget (same taps,
+    # partial corner-fused outputs summed — exact).
+    blk_bytes = table.shape[1] * table.shape[2] * 4
+    groups = corner_groups or (
+        1 if blk_bytes <= 6_200_000 else (2 if blk_bytes <= 12_400_000 else 4)
+    )
+    cg = 4 // groups
+    rows_per_corner = table.shape[1] // 4
+    out = None
+    for g in range(groups):
+        tg = table[:, g * cg * rows_per_corner : (g + 1) * cg * rows_per_corner]
+        part = msda_gather_sorted(
+            tg, lane, m4[..., g * cg : (g + 1) * cg, :], pmin, pspan,
+            rows=rows, ch=ch, corners=cg, packed=packed, interpret=interpret,
+        )  # [B, ch, QB*128] f32
+        out = part if out is None else out + part
+    if packed:
+        # rows [0, ch/2) = even channels, [ch/2, ch) = odd -> interleave
+        out = (
+            out.reshape(B, 2, ch // 2, QB * 128)
+            .transpose(0, 2, 1, 3)
+            .reshape(B, ch, QB * 128)
         )
-    return acc.reshape(bs, num_q, num_heads * ch).astype(value.dtype)
+    out = out.reshape(bs, num_heads, ch, QB * 128).transpose(0, 3, 1, 2)
+    return out[:, :num_q].reshape(bs, num_q, num_heads * ch).astype(value.dtype)

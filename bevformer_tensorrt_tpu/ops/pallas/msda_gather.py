@@ -1,0 +1,143 @@
+"""Sorted-tap MSDA gather kernel — the TPU-native deformable-attention core.
+
+TPU-native replacement for the per-thread bilinear gather loop of the
+reference plugin (TensorRT/plugin/multi_scale_deformable_attn/
+multiScaleDeformableAttnKernel.cu:643-687), designed from v5e measurements
+(tools/kernel_bench{,2}.py, NOTES_r1.md):
+
+  * XLA's row gather is index-rate bound (~46 M taps/s); Mosaic's vreg
+    lane-gather (`take_along_axis` along lanes) resolves a [ch, 128]
+    panel visit in ~115 cycles, so the kernel keeps per-(cam,head) value
+    tables TRANSPOSED and VMEM-resident, splits keys into 128-wide panels,
+    and sweeps only the panels each 128-tap row actually touches.
+  * All per-row scalar work (min panel, span) is precomputed by XLA and read
+    from SMEM — in-kernel cross-lane reductions and dynamic loop setup were
+    the dominant overhead in earlier variants.
+  * Rows are grouped by query block: row (l, p) of a block holds the taps of
+    128 consecutive queries at one (level, point).  All L*P rows of a block
+    accumulate into one [ch, 128] register tile -> ONE output store per
+    block, and the level/point/z sums never materialize in HBM.
+  * The bilinear corners are corner-packed into the table channels
+    (ops/msda._corner_pack) and fused per row with per-corner weights `m4`
+    (bilinear x attention weight, slot-remapped for borders).  When the
+    packed table would overflow VMEM (v5e: ~16 MB scoped, double-buffered
+    across the grid's table axis), the caller splits the corners into
+    groups and sums the partial outputs — same taps, smaller tables.
+  * The table is stored as uint32 pairs of bf16 channels — Mosaic's
+    dynamic_gather needs 32-bit data, and packing halves both VMEM and the
+    vregs per visit.  (A plain f32 table variant exists for interpret-mode
+    tests and fp32-exactness checks.)
+
+Exact for ANY tap distribution: the per-row [pmin, pmin+span) sweep covers
+every referenced panel; sorting the queries (by projected image position)
+only makes it fast, never changes results.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(
+    pmin_ref, pspan_ref, lane_ref, m4_ref, vt_ref, o_ref, *, rows, ch, corners, packed
+):
+    """One grid step = one query block (128 queries) of one (cam*head) table.
+
+    pmin/pspan [1, QB, rows] i32 (SMEM); lane [1, 1, rows, 128] i32;
+    m4 [1, 1, rows, corners, 128] f32; vt [1, CHT, HWp] (u32 pairs or f32);
+    o [1, ch, 128] f32.
+    """
+    qb = pl.program_id(1)
+    h = jnp.zeros((ch // 2 if packed else ch, 128), jnp.float32)
+    hl = jnp.zeros((ch // 2, 128), jnp.float32) if packed else None
+    nrows = (corners * ch // 2) if packed else (corners * ch)
+    H2 = ch // 2
+
+    for r in range(rows):
+        base = pmin_ref[0, qb, r]
+        span = pspan_ref[0, qb, r]
+        lane1 = lane_ref[0, 0, r : r + 1, :]  # [1, 128] — keep index math 1-vreg
+        lane = jnp.broadcast_to(lane1, (nrows, 128))
+
+        def visit(s, acc):
+            panel = vt_ref[0, :, pl.ds(pl.multiple_of((base + s) * 128, 128), 128)]
+            l = jnp.clip(lane - s * 128, 0, 127)
+            g = jnp.take_along_axis(panel, l, axis=1)
+            return jnp.where((lane // 128) == s, g, acc)
+
+        zero = jnp.zeros((nrows, 128), vt_ref.dtype)
+        acc = lax.fori_loop(0, span, visit, zero)
+
+        m = m4_ref[0, 0, r]  # [corners, 128] f32
+        if packed:
+            hi = pltpu.bitcast(acc & jnp.uint32(0xFFFF0000), jnp.float32)
+            lo = pltpu.bitcast(acc << 16, jnp.float32)
+            for x in range(corners):
+                h = h + hi[x * H2 : (x + 1) * H2] * m[x : x + 1]
+                hl = hl + lo[x * H2 : (x + 1) * H2] * m[x : x + 1]
+        else:
+            for x in range(corners):
+                h = h + acc[x * ch : (x + 1) * ch] * m[x : x + 1]
+
+    if packed:
+        o_ref[0, 0 : ch // 2, :] = h
+        o_ref[0, ch // 2 : ch, :] = hl
+    else:
+        o_ref[0, :, :] = h
+
+
+@functools.partial(
+    jax.jit, static_argnames=("rows", "ch", "corners", "packed", "interpret")
+)
+def msda_gather_sorted(
+    table: jax.Array,   # [B, CHT, HWp] — u32 ch-pairs (packed) or f32
+    lane: jax.Array,    # [B, QB, rows, 128] i32: key - pmin*128
+    m4: jax.Array,      # [B, QB, rows, corners, 128] f32 corner wts (x attn)
+    pmin: jax.Array,    # [B, QB, rows] i32 first panel of each row
+    pspan: jax.Array,   # [B, QB, rows] i32 panel count of each row
+    rows: int,
+    ch: int,
+    corners: int = 4,
+    packed: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns [B, ch, QB*128] f32.
+
+    out[b, :, q] = sum over the block's rows r and corners x of
+      m4[b, qb, r, x, q%128] * table_channels[x*ch + :, key].
+
+    Channel layout when packed: output rows [0, ch/2) are the HI bf16 of
+    each u32 pair (even source channels), rows [ch/2, ch) the LO (odd
+    source channels) — callers un-interleave (cheap XLA reshape).
+    """
+    B, CHT, HWp = table.shape
+    QB = lane.shape[1]
+    assert HWp % 128 == 0
+    assert lane.shape == (B, QB, rows, 128)
+    assert CHT == (corners * ch // 2 if packed else corners * ch)
+
+    return pl.pallas_call(
+        functools.partial(_kernel, rows=rows, ch=ch, corners=corners, packed=packed),
+        grid=(B, QB),
+        in_specs=[
+            pl.BlockSpec((1, QB, rows), lambda b, q: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, QB, rows), lambda b, q: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, 1, rows, 128), lambda b, q: (b, q, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, rows, corners, 128),
+                lambda b, q: (b, q, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, CHT, HWp), lambda b, q: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ch, 128), lambda b, q: (b, 0, q), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, ch, QB * 128), jnp.float32),
+        interpret=interpret,
+    )(pmin, pspan, lane, m4, table)

@@ -65,33 +65,79 @@ class TestInt8Matmul:
         assert np.abs(a - b).max() < 1e-3
 
 
-class TestLaneGather:
-    """Lane-binned gather (the round-2 MSDA gather building block):
-    interpret-mode exactness for coherent and random index patterns."""
+class TestMSDASorted:
+    """Sorted-tap MSDA kernel (ops/pallas/msda_gather + the
+    multi_scale_deformable_attn_sorted wrapper): interpret-mode exactness vs
+    the fp32 oracle, for multi-level, z-anchor, and unpadded-query cases."""
 
-    def test_matches_take_along_axis(self, rng):
-        from bevformer_tensorrt_tpu.ops.pallas.lane_gather import lane_gather
+    def _rand_case(self, rng, bs, nq, heads, ch, shapes, P, ppg=1):
+        keys = sum(h * w for h, w in shapes)
+        L = len(shapes)
+        value = rng.standard_normal((bs, keys, heads, ch)).astype(np.float32)
+        ref = rng.random((bs, nq, 1, ppg * 2)).astype(np.float32)
+        off = (rng.standard_normal((bs, nq, heads, L * P * 2)) * 2).astype(np.float32)
+        attn = rng.standard_normal((bs, nq, heads, L * P)).astype(np.float32)
+        return value, ref, off, attn
 
-        B, ch, HW, NT = 2, 32, 512, 1024
-        vt = rng.standard_normal((B, ch, HW)).astype(np.float32)
-        for pattern in ("coherent", "random"):
-            if pattern == "coherent":
-                idx = np.sort(rng.integers(0, HW, (B, NT)), axis=1).astype(np.int32)
-            else:
-                idx = rng.integers(0, HW, (B, NT)).astype(np.int32)
-            out = np.asarray(lane_gather(jnp.asarray(vt), jnp.asarray(idx), interpret=True))
-            ref = np.take_along_axis(vt, idx[:, None, :].repeat(ch, 1), axis=2)
-            np.testing.assert_allclose(out, ref, atol=1e-6, err_msg=pattern)
-
-    def test_bf16(self, rng):
-        from bevformer_tensorrt_tpu.ops.pallas.lane_gather import lane_gather
-
-        B, ch, HW, NT = 1, 16, 256, 1024
-        vt = rng.standard_normal((B, ch, HW)).astype(np.float32)
-        idx = rng.integers(0, HW, (B, NT)).astype(np.int32)
-        out = np.asarray(
-            lane_gather(jnp.asarray(vt, jnp.bfloat16), jnp.asarray(idx), interpret=True),
-            np.float32,
+    @pytest.mark.parametrize("packed", [False, True])
+    def test_matches_oracle(self, rng, packed):
+        from bevformer_tensorrt_tpu.ops import (
+            multi_scale_deformable_attn_reference,
+            multi_scale_deformable_attn_sorted,
         )
-        ref = np.take_along_axis(vt, idx[:, None, :].repeat(ch, 1), axis=2)
-        assert np.abs(out - ref).max() < 0.02
+
+        shapes = ((12, 20), (6, 10))
+        value, ref, off, attn = self._rand_case(rng, 2, 256, 4, 8, shapes, P=4)
+        want = np.asarray(
+            multi_scale_deformable_attn_reference(value, ref, off, attn, shapes)
+        )
+        got = np.asarray(
+            multi_scale_deformable_attn_sorted(
+                value, ref, off, attn, shapes, packed=packed, interpret=True
+            )
+        )
+        tol = 2e-2 if packed else 1e-5  # packed stores the table in bf16
+        np.testing.assert_allclose(got, want, rtol=tol, atol=tol)
+
+    @pytest.mark.parametrize("groups", [2, 4])
+    def test_corner_group_split(self, rng, groups):
+        """VMEM-overflow fallback: splitting the packed corners into groups
+        and summing partials must be exact vs the unsplit call."""
+        from bevformer_tensorrt_tpu.ops import (
+            multi_scale_deformable_attn_reference,
+            multi_scale_deformable_attn_sorted,
+        )
+
+        shapes = ((12, 20), (6, 10))
+        value, ref, off, attn = self._rand_case(rng, 1, 128, 2, 8, shapes, P=4)
+        want = np.asarray(
+            multi_scale_deformable_attn_reference(value, ref, off, attn, shapes)
+        )
+        got = np.asarray(
+            multi_scale_deformable_attn_sorted(
+                value, ref, off, attn, shapes, packed=False, interpret=True,
+                corner_groups=groups,
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_z_anchors_and_unpadded_queries(self, rng):
+        from bevformer_tensorrt_tpu.ops import (
+            multi_scale_deformable_attn_reference,
+            multi_scale_deformable_attn_sorted,
+        )
+
+        shapes = ((8, 16),)
+        # nq=100 (not a multiple of 128), ppg=2 z-anchors, P=4 -> 2 pts/z
+        value, ref, off, attn = self._rand_case(
+            rng, 1, 100, 2, 16, shapes, P=4, ppg=2
+        )
+        want = np.asarray(
+            multi_scale_deformable_attn_reference(value, ref, off, attn, shapes)
+        )
+        got = np.asarray(
+            multi_scale_deformable_attn_sorted(
+                value, ref, off, attn, shapes, packed=False, interpret=True
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

@@ -38,6 +38,14 @@ def main():
                     "(reference --resume-from, tools/bevformer/train.py:34)")
     ap.add_argument("--save-every", type=int, default=1000)
     ap.add_argument("--log-every", type=int, default=10)
+    ap.add_argument(
+        "--distributed",
+        action="store_true",
+        help="multi-host: jax.distributed.initialize() (coordinator/process "
+        "env from the TPU pod runtime or JAX_COORDINATOR_ADDRESS/"
+        "JAX_PROCESS_ID/JAX_NUM_PROCESSES); replaces the reference's "
+        "init_dist/DDP launcher (tools/bevformer/train.py:159-166)",
+    )
     args = ap.parse_args()
 
     import os
@@ -48,6 +56,23 @@ def main():
     # explicit env var so virtual-mesh runs (JAX_PLATFORMS=cpu) work
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    if args.distributed or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        # on TPU pods all args are inferred from the runtime; the env vars
+        # cover manual/CPU bringup
+        jax.distributed.initialize(
+            coordinator_address=os.environ.get("JAX_COORDINATOR_ADDRESS"),
+            num_processes=(
+                int(os.environ["JAX_NUM_PROCESSES"])
+                if os.environ.get("JAX_NUM_PROCESSES")
+                else None
+            ),
+            process_id=(
+                int(os.environ["JAX_PROCESS_ID"])
+                if os.environ.get("JAX_PROCESS_ID")
+                else None
+            ),
+        )
 
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -68,16 +93,24 @@ def main():
     )
 
     qat = args.quant_scales is not None
-    cfg = getattr(cfgs, f"bevformer_{args.model}")(quant=qat)
+    # msda_impl='jnp': the Pallas sorted-tap kernel is inference-only (no
+    # VJP yet); the chunked XLA path is differentiable everywhere.
+    cfg = getattr(cfgs, f"bevformer_{args.model}")(quant=qat, msda_impl="jnp")
     model = BEVFormer(cfg)
     norm = IMG_NORM_PYTORCH if args.model in ("tiny", "micro") else IMG_NORM_CAFFE
     frames = NuScenesFrames(
         args.infos, args.data_root, img_norm=norm, target_hw=(cfg.img_h, cfg.img_w)
     )
 
-    mesh = make_mesh()
+    mesh = make_mesh()  # global devices; dp spans hosts (DCN), tp stays on ICI
     dp = mesh.shape["dp"]
-    print(f"mesh: dp{dp} x tp{mesh.shape['tp']}", file=sys.stderr)
+    n_proc = jax.process_count()
+    proc = jax.process_index()
+    assert dp % n_proc == 0, f"dp {dp} must divide over {n_proc} hosts"
+    dp_local = dp // n_proc
+    print(
+        f"mesh: dp{dp} x tp{mesh.shape['tp']} over {n_proc} host(s)", file=sys.stderr
+    )
     max_gt = min(MAX_GT, cfg.num_query)
 
     # QAT uses the reference's recipe: tiny lr (1e-6), 1 epoch
@@ -102,13 +135,17 @@ def main():
         )
 
     def batch_iter():
+        """Per-host data sharding: every host shuffles with the same seed and
+        loads only its dp_local slice of each global batch (the reference's
+        DistributedSampler even-split, apis/test.py:46, without the
+        all-to-one gather)."""
         idx = np.arange(len(frames))
         rng = np.random.default_rng(0)
         while True:
             rng.shuffle(idx)
             for s in range(0, len(idx) - dp + 1, dp):
                 imgs, cbs, l2is, gbs, gls = [], [], [], [], []
-                for i in idx[s : s + dp]:
+                for i in idx[s + proc * dp_local : s + (proc + 1) * dp_local]:
                     f = frames.frame(int(i))
                     gb = np.zeros((max_gt, 9), np.float32)
                     gl = np.full(max_gt, -1, np.int32)
@@ -128,11 +165,19 @@ def main():
                     "gt_labels": np.stack(gls),
                 }
 
+    def put_batch(batch):
+        sh = data_shardings(batch)
+        if n_proc == 1:
+            return jax.device_put(batch, sh)
+        # local [dp_local, ...] shards -> global [dp, ...] arrays
+        return jax.tree.map(
+            lambda x, s: jax.make_array_from_process_local_data(s, x), batch, sh
+        )
+
     it = batch_iter()
     t0 = time.perf_counter()
     for step in range(args.steps):
-        batch = next(it)
-        batch = jax.device_put(batch, data_shardings(batch))
+        batch = put_batch(next(it))
         params, opt_state, metrics = step_fn(params, batch_stats, opt_state, batch)
         if step % args.log_every == 0:
             loss = float(metrics["loss"])

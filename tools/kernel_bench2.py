@@ -93,13 +93,15 @@ def main():
         pmin = (idx // 128).min(-1).astype(np.int32)
         pspan = ((idx // 128).max(-1) - pmin + 1).astype(np.int32)
         lane = idx - pmin[..., None] * 128  # [B, n_rows, 128], < span*128
-        return idx, lane, m4, pmin, pspan
+        pmin3 = pmin.reshape(B, n_rows // R, R)
+        pspan3 = pspan.reshape(B, n_rows // R, R)
+        return idx, lane, m4, pmin3, pspan3
 
     # ---------- A2: SMEM scalars + static window + dynamic tail ----------
     def kernel_a2(pmin_ref, pspan_ref, lane_ref, m4_ref, vt_ref, o_ref):
         for r in range(R):
-            base = pmin_ref[0, 0, r]
-            span = pspan_ref[0, 0, r]
+            base = pmin_ref[0, pl.program_id(1), r]
+            span = pspan_ref[0, pl.program_id(1), r]
             lane = jnp.broadcast_to(lane_ref[0, r : r + 1, :], (4 * CH, 128))
             acc = jnp.zeros((4 * CH, 128), jnp.float32)
             for s in range(S):  # static fast path
@@ -133,8 +135,8 @@ def main():
             kernel_a2,
             grid=(B, n_rows // R),
             in_specs=[
-                pl.BlockSpec((1, 1, R), lambda b, t: (b, t, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, R), lambda b, t: (b, t, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, n_rows // R, R), lambda b, t: (b, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, n_rows // R, R), lambda b, t: (b, 0, 0), memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, R, 128), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, R, 4, 128), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 4 * CH, HW), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
@@ -148,8 +150,8 @@ def main():
     # ---------- A3: u32-packed bf16 pairs ----------
     def kernel_a3(pmin_ref, pspan_ref, lane_ref, m4_ref, vt_ref, o_ref):
         for r in range(R):
-            base = pmin_ref[0, 0, r]
-            span = pspan_ref[0, 0, r]
+            base = pmin_ref[0, pl.program_id(1), r]
+            span = pspan_ref[0, pl.program_id(1), r]
             lane = jnp.broadcast_to(lane_ref[0, r : r + 1, :], (2 * CH, 128))
             acc = jnp.zeros((2 * CH, 128), jnp.uint32)
             for s in range(S):
@@ -189,8 +191,8 @@ def main():
             kernel_a3,
             grid=(B, n_rows // R),
             in_specs=[
-                pl.BlockSpec((1, 1, R), lambda b, t: (b, t, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, R), lambda b, t: (b, t, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, n_rows // R, R), lambda b, t: (b, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, n_rows // R, R), lambda b, t: (b, 0, 0), memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, R, 128), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, R, 4, 128), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 2 * CH, HW), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
@@ -204,8 +206,8 @@ def main():
     # ---------- A4: raw bf16 table ----------
     def kernel_a4(pmin_ref, pspan_ref, lane_ref, m4_ref, vt_ref, o_ref):
         for r in range(R):
-            base = pmin_ref[0, 0, r]
-            span = pspan_ref[0, 0, r]
+            base = pmin_ref[0, pl.program_id(1), r]
+            span = pspan_ref[0, pl.program_id(1), r]
             lane = jnp.broadcast_to(lane_ref[0, r : r + 1, :], (4 * CH, 128))
             acc = jnp.zeros((4 * CH, 128), jnp.bfloat16)
             for s in range(S):
@@ -239,8 +241,8 @@ def main():
             kernel_a4,
             grid=(B, n_rows // R),
             in_specs=[
-                pl.BlockSpec((1, 1, R), lambda b, t: (b, t, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, R), lambda b, t: (b, t, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, n_rows // R, R), lambda b, t: (b, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, n_rows // R, R), lambda b, t: (b, 0, 0), memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, R, 128), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, R, 4, 128), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 4 * CH, HW), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
