@@ -48,3 +48,35 @@ class ShuffledBatchSampler:
             self.rng.shuffle(idx)
             for s in range(0, len(idx) - self.batch + 1, self.batch):
                 yield idx[s : s + self.batch]
+
+
+def cbgs_indices(
+    frame_labels: Sequence[Sequence[int]], num_classes: int, seed: int = 0
+) -> np.ndarray:
+    """Class-balanced group sampling (CBGS) resample indices.
+
+    mmdet3d CBGSDataset semantics (the wrapper behind the reference's
+    BEVDet-R50-**CBGS** baseline; third_party/bev_mmdet3d/datasets consume it
+    through builder.py:64-152): each frame is listed once per class present,
+    then every class's list is resampled by ratio (1/num_classes) /
+    class_frequency so all classes contribute equally in expectation.
+
+    frame_labels: per frame, the (deduplicated here) class ids present.
+    Returns the resampled frame-index array (len ~= sum of per-class picks).
+    """
+    class_sample_idxs = {c: [] for c in range(num_classes)}
+    for idx, labels in enumerate(frame_labels):
+        for c in set(int(l) for l in labels if 0 <= int(l) < num_classes):
+            class_sample_idxs[c].append(idx)
+    duplicated = sum(len(v) for v in class_sample_idxs.values())
+    if duplicated == 0:
+        return np.arange(len(frame_labels))
+    frac = 1.0 / num_classes
+    rng = np.random.default_rng(seed)
+    out: List[int] = []
+    for c, inds in class_sample_idxs.items():
+        if not inds:
+            continue
+        ratio = frac / (len(inds) / duplicated)
+        out.extend(rng.choice(inds, int(len(inds) * ratio)).tolist())
+    return np.asarray(out, np.int64)

@@ -141,6 +141,7 @@ def _accumulate(
     taken: set = set()
     tp, fp, conf = [], [], []
     errs = {m: [] for m in TP_METRICS}
+    conf_tp: List[float] = []  # confidence at each TP (devkit match_data['conf'])
     for pred in cls_preds:
         best_dist, best_idx, best_gt = np.inf, None, None
         for i, gt in enumerate(gt_by_sample.get(pred.sample_token, ())):
@@ -156,6 +157,7 @@ def _accumulate(
         if is_tp:
             taken.add((pred.sample_token, best_idx))
             if compute_tp:
+                conf_tp.append(pred.detection_score)
                 gt = best_gt
                 errs["trans_err"].append(center_distance(pred, gt))
                 errs["scale_err"].append(1.0 - scale_iou(pred, gt))
@@ -181,15 +183,25 @@ def _accumulate(
 
     out = {"recall": rec_interp, "precision": prec_interp, "confidence": conf_interp}
     if compute_tp:
+        # devkit: cummean of the per-TP error, interpolated over the
+        # CONFIDENCE curve (accumulate() interps match_data on 'conf', not
+        # recall — np.interp needs ascending x, hence the reversals).
+        conf_match = np.asarray(conf_tp, np.float64)
         for m in TP_METRICS:
             e = np.asarray(errs[m], np.float64)
-            # devkit: cummean of the per-TP error, interpolated over recall
             if len(e) == 0 or np.all(np.isnan(e)):
-                out[m] = np.full(N_RECALL_SAMPLES, np.nan)
+                # devkit cummean: all-NaN -> ones
+                out[m] = np.ones(N_RECALL_SAMPLES)
             else:
-                cum = np.nancumsum(e) / np.maximum(np.cumsum(~np.isnan(e)), 1)
-                tp_rec = rec[: len(cum)]
-                out[m] = np.interp(rec_interp, tp_rec, cum, right=cum[-1] if len(cum) else np.nan)
+                cum = np.divide(
+                    np.nancumsum(e),
+                    np.cumsum(~np.isnan(e)),
+                    out=np.zeros(len(e)),
+                    where=np.cumsum(~np.isnan(e)) != 0,
+                )
+                out[m] = np.interp(
+                    conf_interp[::-1], conf_match[::-1], cum[::-1]
+                )[::-1]
     return out
 
 

@@ -155,6 +155,9 @@ class MSDeformableAttention3D(nn.Module):
                 ref_c = jnp.take_along_axis(
                     reference_points_cam, topi[..., None], axis=1
                 ).reshape(cams, K, 1, -1)
+                # invisible selections: pin outside the image (weight 0,
+                # border key) so kernel rows stay panel-local (see encoder)
+                ref_c = jnp.where((topv > 0).reshape(cams, K, 1, 1), ref_c, 2.0)
             off_c = off[topi]     # [cams, K, H, L*P*2]
             attn_c = attn[topi]   # [cams, K, H, L*P]
             out_k = resolve_msda_impl(self.msda_impl)(

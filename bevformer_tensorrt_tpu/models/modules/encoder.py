@@ -219,6 +219,14 @@ class BEVFormerEncoder(nn.Module):
             ref_c = jnp.take_along_axis(
                 reference_points_cam, topi[..., None], axis=1
             ).reshape(cfg.num_cams, K, 1, -1)
+            # invisible selections (mask weight 0) carry garbage projected
+            # coordinates — pin them just outside the image (2.0): bilinear
+            # weights become exactly 0 and their keys clamp to one border
+            # panel, so the sorted-tap kernel's tail rows stay span-1
+            # instead of sweeping panels wherever the garbage lands.
+            ref_c = jnp.where(
+                (topv > 0).reshape(cfg.num_cams, K, 1, 1), ref_c, 2.0
+            )
             compaction = (topi, topv, ref_c)
 
         # sequence parallelism over the BEV-query axis (SURVEY §2.6 TPU-native

@@ -1,0 +1,154 @@
+"""Train / QAT-finetune the 2D family (YOLOX / CenterNet) on COCO.
+
+TPU-native equivalent of the reference's mmdet-driven 2D trainer
+(tools/2d/train.py:1-272 + configs/yolox/yolox_x_8x8_300e_coco_trt_q.py,
+configs/centernet/..._trt_q.py): one jitted step — forward, SimOTA /
+gaussian-focal criterion (train/losses2d.py), AdamW — over a dp mesh.
+QAT = --quant-scales <calib.msgpack> (QDQ fake-quant sites active at the
+calibrated scales, tiny lr, the reference's 1-epoch recipe).
+
+Usage:
+  python tools/2d/train.py yolox_s --ann instances_train2017.json \
+      --img-root train2017 --steps 1000 [--quant-scales scales.msgpack]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+import numpy as np
+
+MAX_GT = 64
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("model", choices=["yolox_x", "yolox_s", "yolox_micro", "centernet_r18", "centernet_micro"])
+    ap.add_argument("--ann", required=True)
+    ap.add_argument("--img-root", required=True)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--quant-scales", default=None, help="enable QAT with these scales")
+    ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--out", default="checkpoints/2d.msgpack")
+    ap.add_argument("--log-every", type=int, default=10)
+    args = ap.parse_args()
+
+    import os
+
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    import jax.numpy as jnp
+    import optax
+
+    from bevformer_tensorrt_tpu.data.coco import CocoDataset
+    from bevformer_tensorrt_tpu.runtime.checkpoint import load_checkpoint, save_checkpoint
+    from bevformer_tensorrt_tpu.train.losses2d import (
+        centernet_loss_single,
+        yolox_loss_single,
+    )
+
+    qat = args.quant_scales is not None
+    is_yolox = args.model.startswith("yolox")
+    if is_yolox:
+        from bevformer_tensorrt_tpu.configs import yolox as ycfg
+        from bevformer_tensorrt_tpu.models.detectors.yolox import YOLOX
+
+        cfg = getattr(ycfg, args.model)(quant=qat)
+        model = YOLOX(cfg)
+    else:
+        from bevformer_tensorrt_tpu.configs import centernet as ccfg
+        from bevformer_tensorrt_tpu.models.detectors.centernet import CenterNet
+
+        cfg = getattr(ccfg, args.model)(quant=qat)
+        model = CenterNet(cfg)
+
+    ds = CocoDataset(args.ann, args.img_root, img_size=cfg.img_size)
+    nc = cfg.num_classes
+
+    dummy = jnp.zeros((args.batch, 3, cfg.img_size, cfg.img_size), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), dummy)
+    params = variables["params"]
+    extra = {k: v for k, v in variables.items() if k != "params"}
+    if args.checkpoint:
+        ckpt = load_checkpoint(args.checkpoint, template={"params": params})
+        params = ckpt["params"]
+    if qat:
+        extra["quant"] = load_checkpoint(args.quant_scales)["quant"]
+
+    lr = 1e-6 if qat else args.lr  # reference QAT recipe: tiny-lr fine-tune
+    tx = optax.chain(optax.clip_by_global_norm(35.0), optax.adamw(lr, weight_decay=1e-4))
+    opt_state = tx.init(params)
+
+    def loss_fn(params, batch):
+        outs = model.apply({"params": params, **extra}, batch["image"])
+        total = 0.0
+        npos = 0.0
+        for i in range(args.batch):
+            if is_yolox:
+                li = yolox_loss_single(
+                    outs, batch["gt_boxes"][i], batch["gt_labels"][i], nc, img_idx=i
+                )
+            else:
+                li = centernet_loss_single(
+                    outs, batch["gt_boxes"][i], batch["gt_labels"][i], nc,
+                    stride=4, img_idx=i,
+                )
+            total = total + li["loss"]
+            npos = npos + li["num_pos"]
+        return total / args.batch, npos
+
+    @jax.jit
+    def step_fn(params, opt_state, batch):
+        (loss, npos), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss, npos
+
+    def batch_iter():
+        idx = np.arange(len(ds))
+        rng = np.random.default_rng(0)
+        while True:
+            rng.shuffle(idx)
+            for s in range(0, len(idx) - args.batch + 1, args.batch):
+                imgs, gbs, gls = [], [], []
+                for i in idx[s : s + args.batch]:
+                    smp = ds.sample(int(i))
+                    gb = np.zeros((MAX_GT, 4), np.float32)
+                    gl = np.full(MAX_GT, -1, np.int32)
+                    for k, ann in enumerate(smp.gt[:MAX_GT]):
+                        gb[k] = ann["bbox"]
+                        gl[k] = ann["category_id"]
+                    imgs.append(smp.image)
+                    gbs.append(gb)
+                    gls.append(gl)
+                yield {
+                    "image": np.stack(imgs),
+                    "gt_boxes": np.stack(gbs),
+                    "gt_labels": np.stack(gls),
+                }
+
+    it = batch_iter()
+    t0 = time.perf_counter()
+    for step in range(args.steps):
+        params, opt_state, loss, npos = step_fn(params, opt_state, next(it))
+        if step % args.log_every == 0:
+            dt = time.perf_counter() - t0
+            print(
+                f"step {step}: loss {float(loss):.4f} num_pos {float(npos):.0f} "
+                f"({dt / (step + 1):.2f}s/step)",
+                file=sys.stderr,
+            )
+    save_checkpoint(args.out, {"params": params})
+    print(f"saved -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

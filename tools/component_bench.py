@@ -139,8 +139,9 @@ def main():
             (2, 1, 1, 1),
         )
     )
-    vt_ = jax.jit(tsa.init)(key, bev_q, prev_q, bev_q, bev_pos, ref2d,
-                            ((cfg.bev_h, cfg.bev_w),))
+    vt_ = jax.jit(
+        lambda k, *a: tsa.init(k, *a, ((cfg.bev_h, cfg.bev_w),))
+    )(key, bev_q, prev_q, bev_q, bev_pos, ref2d)
     tsa_apply = jax.jit(
         lambda v, *a: tsa.apply(v, *a, ((cfg.bev_h, cfg.bev_w),))
     )
@@ -158,10 +159,10 @@ def main():
         num_levels=cfg.num_levels, num_points=cfg.num_points_cross,
         cam_budget=cfg.cam_budget, msda_impl=cfg.msda_impl,
     )
-    vs_ = jax.jit(sca.init)(
-        key, bev_q, value.reshape(cfg.num_cams, -1, cfg.embed_dims), bev_q, None,
-        ref_cam, bev_mask, shapes
-    )
+    vs_ = jax.jit(
+        lambda k, *a: sca.init(k, *a, shapes)
+    )(key, bev_q, value.reshape(cfg.num_cams, -1, cfg.embed_dims), bev_q, None,
+      ref_cam, bev_mask)
     sca_apply = jax.jit(lambda v, *a: sca.apply(v, *a, shapes))
     t_sca = timeit(
         sca_apply, vs_, bev_q, value.reshape(cfg.num_cams, -1, cfg.embed_dims),
