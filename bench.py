@@ -67,11 +67,14 @@ def main():
     )
     prev_bev = jnp.zeros((nq, 1, cfg.embed_dims), jnp.float32)
     can_bus = jnp.asarray(rng.standard_normal(cfg.can_bus_dims), jnp.float32)
-    l2i = np.tile(np.eye(4, dtype=np.float32), (1, cfg.num_cams, 1, 1))
-    l2i[..., 0, 0] = l2i[..., 1, 1] = cfg.img_w / 2.0
-    l2i[..., 0, 3] = cfg.img_w / 2.0
-    l2i[..., 1, 3] = cfg.img_h / 2.0
-    lidar2img = jnp.asarray(l2i)
+    # realistic nuScenes-like 6-camera rig: per-camera visibility, projected
+    # reference geometry, and therefore the gather-kernel behavior match
+    # deployment (an identity-ish rig makes the encoder look faster than it
+    # is on real scenes).
+    from tools.geometry_analysis import nuscenes_like_rig
+
+    l2i = nuscenes_like_rig(cfg.img_w, cfg.img_h)[: cfg.num_cams]
+    lidar2img = jnp.asarray(l2i.reshape(1, cfg.num_cams, 4, 4).astype(np.float32))
 
     t0 = time.perf_counter()
     variables = jax.jit(model.init)(

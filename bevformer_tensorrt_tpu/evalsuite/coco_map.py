@@ -42,7 +42,13 @@ def _ap_single(
         return np.nan
     if not preds:
         return 0.0
-    preds = sorted(preds, key=lambda p: -p[1])
+    # pycocotools maxDets=100: keep each image's top-100 detections (by
+    # score, stable) before the global sweep
+    by_img: Dict[str, list] = defaultdict(list)
+    for p in sorted(preds, key=lambda p: -p[1]):
+        if len(by_img[p[0]]) < 100:
+            by_img[p[0]].append(p)
+    preds = sorted((p for v in by_img.values() for p in v), key=lambda p: -p[1])
     ious = {img: box_iou(np.array([p[2] for p in preds if p[0] == img]), g) for img, g in gts.items()}
     # simpler per-pred loop with taken sets
     taken = defaultdict(set)

@@ -71,28 +71,33 @@ def modulated_deform_conv2d(
     base_y = jnp.arange(Ho, dtype=cdtype)[:, None] * stride - padding  # [Ho, 1]
     base_x = jnp.arange(Wo, dtype=cdtype)[None, :] * stride - padding  # [1, Wo]
 
+    # corner packing (the MSDA trick, ops/msda._corner_pack): the 4 bilinear
+    # corners (k, k+1, k+W, k+W+1) are stacked on the channel axis so each
+    # tap needs ONE gather instead of four — the gather is index-rate bound
+    # on TPU, so this is ~4x on the sampling stage.  Wrap-around rows from
+    # the rolls are always masked by the slot weights (clamped-window remap
+    # in bilinear_slot_terms_pixels).
+    from .msda import bilinear_slot_terms_pixels
+
+    x4 = jnp.concatenate(
+        [
+            xf,
+            jnp.roll(xf, -1, axis=3),
+            jnp.roll(xf, -W, axis=3),
+            jnp.roll(xf, -(W + 1), axis=3),
+        ],
+        axis=2,
+    )  # [N, dg, 4*Cin/dg, H*W]
+
     def bilinear(py, px):
-        """Sample xf at (py, px): [N, dg, Ho, Wo] -> [N, dg, Cin/dg, Ho, Wo]."""
-        y0 = jnp.floor(py)
-        x0 = jnp.floor(px)
-        wy1 = py - y0
-        wx1 = px - x0
-        iy0 = y0.astype(jnp.int32)
-        ix0 = x0.astype(jnp.int32)
-
-        def corner(iy, ix, w):
-            valid = (iy >= 0) & (iy < H) & (ix >= 0) & (ix < W)
-            idx = jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
-            idx = idx.reshape(N, dg, 1, Ho * Wo)
-            g = jnp.take_along_axis(xf, idx, axis=3).reshape(N, dg, Cin // dg, Ho, Wo)
-            return g.astype(cdtype) * (w * valid.astype(cdtype))[:, :, None]
-
-        return (
-            corner(iy0, ix0, (1 - wy1) * (1 - wx1))
-            + corner(iy0, ix0 + 1, (1 - wy1) * wx1)
-            + corner(iy0 + 1, ix0, wy1 * (1 - wx1))
-            + corner(iy0 + 1, ix0 + 1, wy1 * wx1)
-        )
+        """Sample at (py, px): [N, dg, Ho, Wo] -> [N, dg, Cin/dg, Ho, Wo]."""
+        key, slots = bilinear_slot_terms_pixels(px, py, H, W)  # [N,dg,Ho,Wo]
+        m4 = jnp.stack(slots, axis=-1)
+        g = jnp.take_along_axis(
+            x4, key.reshape(N, dg, 1, Ho * Wo), axis=3
+        ).reshape(N, dg, 4, Cin // dg, Ho, Wo)
+        m = m4.astype(cdtype).transpose(0, 1, 4, 2, 3)[:, :, :, None]  # [N,dg,4,1,Ho,Wo]
+        return (g.astype(cdtype) * m).sum(axis=2)
 
     wf = weight.astype(cdtype)
     out = jnp.zeros((N, Cout, Ho, Wo), cdtype)

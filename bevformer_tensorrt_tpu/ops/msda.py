@@ -277,8 +277,15 @@ def _bilinear_slot_terms(loc_l, H, W):
     A corner falling outside the clamped 2x2 window is always out-of-image
     (weight 0), so the remap is exact — same math as `_msda_chunk`.
     """
-    x = loc_l[..., 0] * W - 0.5
-    y = loc_l[..., 1] * H - 0.5
+    key, slots = bilinear_slot_terms_pixels(
+        loc_l[..., 0] * W - 0.5, loc_l[..., 1] * H - 0.5, H, W
+    )
+    return key, jnp.stack(slots, axis=-1)
+
+
+def bilinear_slot_terms_pixels(x, y, H, W):
+    """As `_bilinear_slot_terms` but with pixel-space sampling positions
+    (shared by DCNv2's corner-packed gather, ops/dcn.py)."""
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     wx1 = x - x0
@@ -302,17 +309,123 @@ def _bilinear_slot_terms(loc_l, H, W):
     sx0, sx1 = slot(dx, ax0, ax1)
     sy0, sy1 = slot(dy, ay0, ay1)
     key = by * W + bx
-    m4 = jnp.stack([sx0 * sy0, sx1 * sy0, sx0 * sy1, sx1 * sy1], axis=-1)
-    return key, m4
+    return key, (sx0 * sy0, sx1 * sy0, sx0 * sy1, sx1 * sy1)
 
 
-def _pack_bf16_pairs(vt):
-    """[B, 4ch, HWp] -> [B, 2ch, HWp] uint32: channel pairs (2k, 2k+1) as
-    (hi, lo) bf16 halves — Mosaic dynamic_gather needs 32-bit data."""
+def _pack_bf16_halves(vt, ch):
+    """[B, 4ch, HWp] -> [B, 2ch, HWp] uint32: per corner block, channel
+    halves (k, k+ch/2) packed as (hi, lo) — Mosaic dynamic_gather needs
+    32-bit data, and contiguous-half pairing avoids strided slicing here
+    AND any un-interleave after the kernel (its hi/lo outputs are already
+    channels [0, ch/2) and [ch/2, ch) in order)."""
+    B, CHT, HWp = vt.shape
     u16 = jax.lax.bitcast_convert_type(
         vt.astype(jnp.bfloat16), jnp.uint16
     ).astype(jnp.uint32)
-    return (u16[:, 0::2, :] << 16) | u16[:, 1::2, :]
+    u16 = u16.reshape(B, 4, 2, ch // 2, HWp)
+    return ((u16[:, :, 0] << 16) | u16[:, :, 1]).reshape(B, 2 * ch, HWp)
+
+
+def _build_tables(value, spatial_shapes, packed):
+    """value [bs, keys, heads, ch] -> (table [bs*heads, CHT, HWp],
+    level_base panels).  One transpose of the raw value (keys -> minor),
+    then corner packing via minor-axis rolls and half-pair u32 packing —
+    the corner-packed-then-transpose order costs 4x the relayout traffic."""
+    bs, num_keys, num_heads, ch = value.shape
+    B = bs * num_heads
+    vt = value.transpose(0, 2, 3, 1).reshape(B, ch, num_keys)
+    starts = [0]
+    for h, w in spatial_shapes:
+        starts.append(starts[-1] + h * w)
+    tables = []
+    level_base = []
+    panels = 0
+    for lvl, (H, W) in enumerate(spatial_shapes):
+        v = vt[:, :, starts[lvl] : starts[lvl + 1]]
+        v4 = jnp.concatenate(
+            [
+                v,
+                jnp.roll(v, -1, axis=2),
+                jnp.roll(v, -W, axis=2),
+                jnp.roll(v, -(W + 1), axis=2),
+            ],
+            axis=1,
+        )  # [B, 4ch, HW]
+        hw_pad = (-(H * W)) % 128
+        if hw_pad:
+            v4 = jnp.pad(v4, ((0, 0), (0, 0), (0, hw_pad)))
+        tables.append(v4)
+        level_base.append(panels)
+        panels += (H * W + hw_pad) // 128
+    table = jnp.concatenate(tables, axis=-1)
+    table = _pack_bf16_halves(table, ch) if packed else table.astype(jnp.float32)
+    return table, level_base
+
+
+def _prep_taps(
+    reference_points, sampling_offsets, attention_weights, spatial_shapes,
+    num_heads, level_base,
+):
+    """Tap rows for the sorted kernel, computed in query-MINOR layout (one
+    cheap transpose of each projection output instead of several large
+    query-to-minor relayouts of derived tensors).
+
+    Returns lane [B, QB, rows, 128] i32, m4 [B, QB, rows, 4, 128] f32,
+    pmin/pspan [B, QB, rows] i32.
+    """
+    bs, num_q = reference_points.shape[:2]
+    L = len(spatial_shapes)
+    P = attention_weights.shape[-1] // L
+    rows = L * P
+    B = bs * num_heads
+    ppg = reference_points.shape[-1] // 2
+    q_pad = (-num_q) % 128
+    QB = (num_q + q_pad) // 128
+
+    # q-minor projections
+    offT = (
+        sampling_offsets.astype(jnp.float32)
+        .transpose(0, 2, 3, 1)
+        .reshape(bs, num_heads, L, P // ppg, ppg, 2, num_q)
+    )
+    attnT = attention_weights.astype(jnp.float32).transpose(0, 2, 3, 1)
+    wT = jax.nn.softmax(attnT, axis=2).reshape(bs, num_heads, L, P, num_q)
+    refT = reference_points.astype(jnp.float32).reshape(
+        bs, num_q, ppg, 2
+    ).transpose(0, 2, 3, 1)  # [bs, ppg, 2, q]
+
+    if q_pad:
+        pad = ((0, 0),) * (offT.ndim - 1) + ((0, q_pad),)
+        offT = jnp.pad(offT, pad)
+        wT = jnp.pad(wT, ((0, 0),) * 4 + ((0, q_pad),))
+        refT = jnp.pad(refT, ((0, 0),) * 3 + ((0, q_pad),), constant_values=2.0)
+
+    lanes, m4s, pmins, pspans = [], [], [], []
+    for lvl, (H, W) in enumerate(spatial_shapes):
+        # sampling locations in pixels (msda_sampling_locations semantics)
+        rx = refT[:, :, 0][:, None, None]  # [bs, 1, 1, ppg, q]
+        ry = refT[:, :, 1][:, None, None]
+        x = (rx + offT[:, :, lvl, :, :, 0] / W) * W - 0.5
+        y = (ry + offT[:, :, lvl, :, :, 1] / H) * H - 0.5
+        # [bs, heads, P//ppg, ppg, q] -> [bs, heads, P, q]
+        x = x.reshape(bs, num_heads, P, -1)
+        y = y.reshape(bs, num_heads, P, -1)
+        key, slots = bilinear_slot_terms_pixels(x, y, H, W)
+        key = key + level_base[lvl] * 128
+        wl = wT[:, :, lvl]  # [bs, heads, P, q]
+        m4 = jnp.stack([s * wl for s in slots], axis=3)  # [bs, h, P, 4, q]
+        lanes.append(key)
+        m4s.append(m4)
+    key = jnp.stack(lanes, axis=2)  # [bs, h, L, P, qp]
+    m4 = jnp.stack(m4s, axis=2)     # [bs, h, L, P, 4, qp]
+    key = key.reshape(B, rows, QB, 128).transpose(0, 2, 1, 3)
+    m4 = m4.reshape(B, rows, 4, QB, 128).transpose(0, 3, 1, 2, 4)
+
+    panel = key // 128
+    pmin = panel.min(-1).astype(jnp.int32)
+    pspan = (panel.max(-1) - pmin + 1).astype(jnp.int32)
+    lane = (key - pmin[..., None] * 128).astype(jnp.int32)
+    return lane, m4.astype(jnp.float32), pmin, pspan
 
 
 @functools.partial(
@@ -349,63 +462,13 @@ def multi_scale_deformable_attn_sorted(
     P = attention_weights.shape[-1] // L
     rows = L * P
     B = bs * num_heads
+    QB = (num_q + (-num_q) % 128) // 128
 
-    q_pad = (-num_q) % 128
-    weights = jax.nn.softmax(attention_weights.astype(jnp.float32), axis=-1)
-    weights = weights.reshape(bs, num_q, num_heads, L, P)
-    loc = msda_sampling_locations(
-        reference_points.astype(jnp.float32),
-        sampling_offsets.astype(jnp.float32),
-        spatial_shapes,
-        num_heads,
-    )  # [bs, q, heads, L, P, 2]
-    if q_pad:
-        loc = jnp.pad(loc, ((0, 0), (0, q_pad)) + ((0, 0),) * 4)
-        weights = jnp.pad(weights, ((0, 0), (0, q_pad)) + ((0, 0),) * 3)
-    QB = (num_q + q_pad) // 128
-
-    # ---- concatenated corner-packed tables, keys padded per level --------
-    starts = [0]
-    for h, w in spatial_shapes:
-        starts.append(starts[-1] + h * w)
-    tables = []
-    level_base = []  # starting PANEL of each level in the concat table
-    panels = 0
-    for lvl, (H, W) in enumerate(spatial_shapes):
-        v4 = _corner_pack(value[:, starts[lvl] : starts[lvl + 1]], H, W)
-        vt = v4.transpose(0, 2, 3, 1).reshape(B, 4 * ch, H * W)
-        hw_pad = (-(H * W)) % 128
-        if hw_pad:
-            vt = jnp.pad(vt, ((0, 0), (0, 0), (0, hw_pad)))
-        tables.append(vt)
-        level_base.append(panels)
-        panels += (H * W + hw_pad) // 128
-    table = jnp.concatenate(tables, axis=-1)  # [B, 4ch, HWp] f32-ish
-    table = _pack_bf16_pairs(table) if packed else table.astype(jnp.float32)
-
-    # ---- per-(level, point) tap rows ------------------------------------
-    keys = []
-    m4s = []
-    for lvl, (H, W) in enumerate(spatial_shapes):
-        key, m4 = _bilinear_slot_terms(loc[:, :, :, lvl], H, W)  # [bs,q,h,P(,4)]
-        keys.append(key + level_base[lvl] * 128)
-        m4s.append(m4 * weights[:, :, :, lvl, :, None])
-    key = jnp.stack(keys, axis=3)  # [bs, qp, heads, L, P]
-    m4 = jnp.stack(m4s, axis=3)    # [bs, qp, heads, L, P, 4]
-
-    # [bs, qp, heads, L, P] -> [B, QB, rows, 128]
-    key = key.transpose(0, 2, 3, 4, 1).reshape(B, rows, QB, 128).transpose(0, 2, 1, 3)
-    m4 = (
-        m4.transpose(0, 2, 3, 4, 5, 1)
-        .reshape(B, rows, 4, QB, 128)
-        .transpose(0, 3, 1, 2, 4)
-    )  # [B, QB, rows, 4, 128]
-
-    panel = key // 128
-    pmin = panel.min(-1).astype(jnp.int32)            # [B, QB, rows]
-    pspan = (panel.max(-1) - pmin + 1).astype(jnp.int32)
-    lane = (key - pmin[..., None] * 128).astype(jnp.int32)
-    m4 = m4.astype(jnp.float32)
+    table, level_base = _build_tables(value, spatial_shapes, packed)
+    lane, m4, pmin, pspan = _prep_taps(
+        reference_points, sampling_offsets, attention_weights, spatial_shapes,
+        num_heads, level_base,
+    )
 
     # v5e VMEM is ~16 MB scoped and the table block is double-buffered
     # across the grid's (cam*head) axis: split the 4 packed corners into
@@ -423,14 +486,7 @@ def multi_scale_deformable_attn_sorted(
         part = msda_gather_sorted(
             tg, lane, m4[..., g * cg : (g + 1) * cg, :], pmin, pspan,
             rows=rows, ch=ch, corners=cg, packed=packed, interpret=interpret,
-        )  # [B, ch, QB*128] f32
+        )  # [B, ch, QB*128] f32 (channels already in order — half pairing)
         out = part if out is None else out + part
-    if packed:
-        # rows [0, ch/2) = even channels, [ch/2, ch) = odd -> interleave
-        out = (
-            out.reshape(B, 2, ch // 2, QB * 128)
-            .transpose(0, 2, 1, 3)
-            .reshape(B, ch, QB * 128)
-        )
     out = out.reshape(bs, num_heads, ch, QB * 128).transpose(0, 3, 1, 2)
     return out[:, :num_q].reshape(bs, num_q, num_heads * ch).astype(value.dtype)

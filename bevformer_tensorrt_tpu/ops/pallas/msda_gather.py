@@ -44,15 +44,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(
-    pmin_ref, pspan_ref, lane_ref, m4_ref, vt_ref, o_ref, *, rows, ch, corners, packed
+    pmin_ref, pspan_ref, lane_ref, m4_ref, vt_ref3, o_ref, *, rows, ch, corners, packed
 ):
     """One grid step = one query block (128 queries) of one (cam*head) table.
 
     pmin/pspan [1, QB, rows] i32 (SMEM); lane [1, 1, rows, 128] i32;
     m4 [1, 1, rows, corners, 128] f32; vt [1, CHT, HWp] (u32 pairs or f32);
     o [1, ch, 128] f32.
+
+    (A manually-DMA'd single-buffered table scratch was tried — it would
+    double the residency budget — but Mosaic hangs compiling the
+    ANY-space + persistent-scratch pattern; the corner-group split in the
+    caller covers the overflow cases instead.)
     """
     qb = pl.program_id(1)
+
     h = jnp.zeros((ch // 2 if packed else ch, 128), jnp.float32)
     hl = jnp.zeros((ch // 2, 128), jnp.float32) if packed else None
     nrows = (corners * ch // 2) if packed else (corners * ch)
@@ -65,12 +71,12 @@ def _kernel(
         lane = jnp.broadcast_to(lane1, (nrows, 128))
 
         def visit(s, acc):
-            panel = vt_ref[0, :, pl.ds(pl.multiple_of((base + s) * 128, 128), 128)]
+            panel = vt_ref3[0, :, pl.ds(pl.multiple_of((base + s) * 128, 128), 128)]
             l = jnp.clip(lane - s * 128, 0, 127)
             g = jnp.take_along_axis(panel, l, axis=1)
             return jnp.where((lane // 128) == s, g, acc)
 
-        zero = jnp.zeros((nrows, 128), vt_ref.dtype)
+        zero = jnp.zeros((nrows, 128), vt_ref3.dtype)
         acc = lax.fori_loop(0, span, visit, zero)
 
         m = m4_ref[0, 0, r]  # [corners, 128] f32
@@ -111,9 +117,10 @@ def msda_gather_sorted(
     out[b, :, q] = sum over the block's rows r and corners x of
       m4[b, qb, r, x, q%128] * table_channels[x*ch + :, key].
 
-    Channel layout when packed: output rows [0, ch/2) are the HI bf16 of
-    each u32 pair (even source channels), rows [ch/2, ch) the LO (odd
-    source channels) — callers un-interleave (cheap XLA reshape).
+    Channel layout when packed: the table pairs each corner block's channel
+    halves (k, k + ch/2) as (hi, lo) u32 halves (ops/msda._pack_bf16_halves),
+    so the kernel's hi/lo accumulators are channels [0, ch/2) and [ch/2, ch)
+    directly — the output needs no un-interleave.
     """
     B, CHT, HWp = table.shape
     QB = lane.shape[1]
