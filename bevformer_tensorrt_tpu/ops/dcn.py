@@ -6,12 +6,20 @@ bilinear im2col at offset positions x sigmoid mask (:260-318), then cuBLAS
 GEMM (:702-760), then bias add (:551-608)).  Python contract:
 det2trt/models/modules/cnn/dcn.py and mmcv's modulated_deform_conv.
 
-TPU-first structure: the same im2col-then-GEMM decomposition, but organized
-as a *static* loop over the kh*kw kernel taps — each tap is one bilinear
-gather (VPU + gather unit) followed by one big [Cout, Cin] x [Cin, N*Ho*Wo]
-matmul on the MXU.  9 large matmuls beat one huge im2col buffer: no
-materialized [Cin*9, Ho*Wo] tensor in HBM, and XLA fuses the gather/blend
-into the matmul's producer.
+Two execution paths:
+
+* XLA (`_dcn_xla`, any backend, differentiable): a static loop over the
+  kh*kw taps — each tap one corner-packed bilinear gather followed by a
+  [Cout, Cin] x [Cin, N*Ho*Wo] MXU matmul.
+* Pallas (TPU inference): the sorted-tap gather kernel
+  (ops/pallas/msda_gather, emit_rows mode) produces the channel-major
+  bilinear-im2col directly — tap rows of 128 consecutive output pixels
+  sweep only the key panels they touch (output raster order makes taps
+  panel-local), the kh*kw taps of one kernel row share one union sweep,
+  and ONE [Cout, kh*kw*Cin] x [kh*kw*Cin, S] GEMM finishes.  This removes
+  the XLA path's per-tap row-gather index cost (~40 M rows/s) that made
+  DCN the backbone's dominant term.  Training still differentiates:
+  `jax.custom_vjp` recomputes the backward through the XLA formulation.
 
 Mask is the *already-sigmoided* modulation (the caller applies sigmoid, as
 mmcv's wrapper does).
@@ -24,40 +32,14 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(
-    jax.jit, static_argnames=("stride", "padding", "dilation", "groups", "deform_groups")
-)
-def modulated_deform_conv2d(
-    x: jax.Array,
-    offset: jax.Array,
-    mask: jax.Array,
-    weight: jax.Array,
-    bias: jax.Array | None = None,
-    stride: int = 1,
-    padding: int = 1,
-    dilation: int = 1,
-    groups: int = 1,
-    deform_groups: int = 1,
-) -> jax.Array:
-    """DCNv2 forward.
-
-    Args:
-      x: [N, Cin, H, W]
-      offset: [N, 2*dg*kh*kw, Ho, Wo] — per tap (y, x) interleaved, mmcv layout
-        (channel 2*t = y-offset of tap t, 2*t+1 = x-offset).
-      mask: [N, dg*kh*kw, Ho, Wo], sigmoid already applied.
-      weight: [Cout, Cin//groups, kh, kw]
-      bias: [Cout] or None.
-    Returns:
-      [N, Cout, Ho, Wo]
-    """
+def _dcn_xla(
+    x, offset, mask, weight, stride, padding, dilation, groups, deform_groups
+):
     N, Cin, H, W = x.shape
     Cout, Cin_g, kh, kw = weight.shape
     dg = deform_groups
     Ho = (H + 2 * padding - dilation * (kh - 1) - 1) // stride + 1
     Wo = (W + 2 * padding - dilation * (kw - 1) - 1) // stride + 1
-    assert offset.shape == (N, 2 * dg * kh * kw, Ho, Wo), offset.shape
-    assert mask.shape == (N, dg * kh * kw, Ho, Wo), mask.shape
 
     cdtype = jnp.float32
     # gather + blend stay in the input dtype (bf16 halves the gather
@@ -71,12 +53,11 @@ def modulated_deform_conv2d(
     base_y = jnp.arange(Ho, dtype=cdtype)[:, None] * stride - padding  # [Ho, 1]
     base_x = jnp.arange(Wo, dtype=cdtype)[None, :] * stride - padding  # [1, Wo]
 
-    # corner packing (the MSDA trick, ops/msda._corner_pack): the 4 bilinear
+    # corner packing (the MSDA trick, ops/msda corner rolls): the 4 bilinear
     # corners (k, k+1, k+W, k+W+1) are stacked on the channel axis so each
     # tap needs ONE gather instead of four — the gather is index-rate bound
-    # on TPU, so this is ~4x on the sampling stage.  Wrap-around rows from
-    # the rolls are always masked by the slot weights (clamped-window remap
-    # in bilinear_slot_terms_pixels).
+    # on TPU.  Wrap-around rows from the rolls are always masked by the slot
+    # weights (clamped-window remap in bilinear_slot_terms_pixels).
     from .msda import bilinear_slot_terms_pixels
 
     x4 = jnp.concatenate(
@@ -111,7 +92,159 @@ def modulated_deform_conv2d(
         out = out + jnp.einsum(
             "goc,ngcs->ngos", wt, sampled, preferred_element_type=cdtype
         ).reshape(N, Cout, Ho, Wo)
+    return out
 
+
+def _dcn_pallas(
+    x, offset, mask, weight, stride, padding, dilation,
+    packed=True, interpret=False, ch_group=32,
+):
+    """Sorted-gather im2col + single GEMM (requires groups=dg=1,
+    Cin % ch_group == 0)."""
+    from .msda import _pack_tables_from_vt, bilinear_slot_terms_pixels
+    from .pallas.msda_gather import msda_gather_sorted
+
+    N, Cin, H, W = x.shape
+    Cout, _, kh, kw = weight.shape
+    rows = kh * kw
+    Ho = (H + 2 * padding - dilation * (kh - 1) - 1) // stride + 1
+    Wo = (W + 2 * padding - dilation * (kw - 1) - 1) // stride + 1
+    S = Ho * Wo
+    q_pad = (-S) % 128
+    QB = (S + q_pad) // 128
+    G = Cin // ch_group
+    B = N * G
+
+    vt = x.reshape(B, ch_group, H * W).astype(
+        jnp.bfloat16 if packed else jnp.float32
+    )
+    table, _ = _pack_tables_from_vt(vt, ((H, W),), packed)
+
+    f32 = jnp.float32
+    off = offset.astype(f32).reshape(N, rows, 2, S)
+    msk = mask.astype(f32).reshape(N, rows, S)
+    gy = (jnp.arange(Ho, dtype=f32)[:, None] * stride - padding)
+    gx = (jnp.arange(Wo, dtype=f32)[None, :] * stride - padding)
+    gy = jnp.broadcast_to(gy, (Ho, Wo)).reshape(1, 1, S)
+    gx = jnp.broadcast_to(gx, (Ho, Wo)).reshape(1, 1, S)
+    di = jnp.asarray(
+        [(t // kw) * dilation for t in range(rows)], f32
+    ).reshape(1, rows, 1)
+    dj = jnp.asarray(
+        [(t % kw) * dilation for t in range(rows)], f32
+    ).reshape(1, rows, 1)
+    py = gy + di + off[:, :, 0]
+    px = gx + dj + off[:, :, 1]
+    key, slots = bilinear_slot_terms_pixels(px, py, H, W)  # [N, rows, S]
+    m4 = jnp.stack(slots, axis=2) * msk[:, :, None]        # [N, rows, 4, S]
+    if q_pad:
+        # replicate the last pixel's taps (keeps spans tight); their im2col
+        # columns are sliced off after the GEMM
+        key = jnp.pad(key, ((0, 0), (0, 0), (0, q_pad)), mode="edge")
+        m4 = jnp.pad(m4, ((0, 0), (0, 0), (0, 0), (0, q_pad)))
+
+    key = key.reshape(N, rows, QB, 128).transpose(0, 2, 1, 3)  # [N, QB, rows, 128]
+    m4 = m4.reshape(N, rows, 4, QB, 128).transpose(0, 3, 1, 2, 4)
+
+    rg = 1
+    nrows = 4 * ch_group // 2 if packed else 4 * ch_group
+    for d in (3, kh):
+        if rows % d == 0 and d * nrows <= 256:
+            rg = d
+    panel = key // 128
+    pg = panel.reshape(N, QB, rows // rg, rg * 128)
+    pmin = pg.min(-1).astype(jnp.int32)
+    pspan = (pg.max(-1).astype(jnp.int32) - pmin + 1)
+    lane = (key - jnp.repeat(pmin, rg, axis=2)[..., None] * 128).astype(jnp.int32)
+
+    mm_dtype = jnp.bfloat16 if packed else f32
+    im = msda_gather_sorted(
+        table, lane, m4.astype(f32), pmin, pspan,
+        rows=rows, ch=ch_group, corners=4, packed=packed, interpret=interpret,
+        row_group=rg, emit_rows=True, tap_share=G, out_dtype=mm_dtype,
+    )  # [B, rows*chg, QB*128]
+    im = im.reshape(N, G, rows, ch_group, QB * 128)
+    wf = weight.astype(mm_dtype).reshape(Cout, G, ch_group, rows)
+    out = jnp.einsum(
+        "ogct,ngtcs->nos", wf, im, preferred_element_type=f32
+    )[:, :, :S]
+    return out.reshape(N, Cout, Ho, Wo)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _dcn_pallas_diff(x, offset, mask, weight, stride, padding, dilation):
+    return _dcn_pallas(x, offset, mask, weight, stride, padding, dilation)
+
+
+def _dcn_pallas_fwd(x, offset, mask, weight, stride, padding, dilation):
+    out = _dcn_pallas(x, offset, mask, weight, stride, padding, dilation)
+    return out, (x, offset, mask, weight)
+
+
+def _dcn_pallas_bwd(stride, padding, dilation, res, g):
+    x, offset, mask, weight = res
+    _, vjp = jax.vjp(
+        lambda *a: _dcn_xla(*a, stride, padding, dilation, 1, 1),
+        x, offset, mask, weight,
+    )
+    return vjp(g.astype(jnp.float32))
+
+
+_dcn_pallas_diff.defvjp(_dcn_pallas_fwd, _dcn_pallas_bwd)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "stride", "padding", "dilation", "groups", "deform_groups", "impl"
+    ),
+)
+def modulated_deform_conv2d(
+    x: jax.Array,
+    offset: jax.Array,
+    mask: jax.Array,
+    weight: jax.Array,
+    bias: jax.Array | None = None,
+    stride: int = 1,
+    padding: int = 1,
+    dilation: int = 1,
+    groups: int = 1,
+    deform_groups: int = 1,
+    impl: str = "auto",
+) -> jax.Array:
+    """DCNv2 forward.
+
+    Args:
+      x: [N, Cin, H, W]
+      offset: [N, 2*dg*kh*kw, Ho, Wo] — per tap (y, x) interleaved, mmcv layout
+        (channel 2*t = y-offset of tap t, 2*t+1 = x-offset).
+      mask: [N, dg*kh*kw, Ho, Wo], sigmoid already applied.
+      weight: [Cout, Cin//groups, kh, kw]
+      bias: [Cout] or None.
+      impl: 'auto' (Pallas on TPU when eligible), 'pallas', or 'jnp'.
+    Returns:
+      [N, Cout, Ho, Wo]
+    """
+    N, Cin, H, W = x.shape
+    Cout, Cin_g, kh, kw = weight.shape
+    dg = deform_groups
+    Ho = (H + 2 * padding - dilation * (kh - 1) - 1) // stride + 1
+    Wo = (W + 2 * padding - dilation * (kw - 1) - 1) // stride + 1
+    assert offset.shape == (N, 2 * dg * kh * kw, Ho, Wo), offset.shape
+    assert mask.shape == (N, dg * kh * kw, Ho, Wo), mask.shape
+
+    eligible = groups == 1 and dg == 1 and Cin % 32 == 0
+    use_pallas = impl == "pallas" or (
+        impl == "auto" and eligible and jax.default_backend() == "tpu"
+    )
+    if use_pallas:
+        out = _dcn_pallas_diff(
+            x, offset, mask, weight, stride, padding, dilation
+        )
+    else:
+        out = _dcn_xla(
+            x, offset, mask, weight, stride, padding, dilation, groups, dg
+        )
     if bias is not None:
-        out = out + bias.astype(cdtype)[None, :, None, None]
+        out = out + bias.astype(out.dtype)[None, :, None, None]
     return out.astype(x.dtype)

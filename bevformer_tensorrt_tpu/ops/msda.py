@@ -326,14 +326,11 @@ def _pack_bf16_halves(vt, ch):
     return ((u16[:, :, 0] << 16) | u16[:, :, 1]).reshape(B, 2 * ch, HWp)
 
 
-def _build_tables(value, spatial_shapes, packed):
-    """value [bs, keys, heads, ch] -> (table [bs*heads, CHT, HWp],
-    level_base panels).  One transpose of the raw value (keys -> minor),
-    then corner packing via minor-axis rolls and half-pair u32 packing —
-    the corner-packed-then-transpose order costs 4x the relayout traffic."""
-    bs, num_keys, num_heads, ch = value.shape
-    B = bs * num_heads
-    vt = value.transpose(0, 2, 3, 1).reshape(B, ch, num_keys)
+def _pack_tables_from_vt(vt, spatial_shapes, packed):
+    """vt [B, ch, keys] (keys-minor, levels concatenated) -> (table
+    [B, CHT, HWp], level_base panels): corner packing via minor-axis rolls
+    and half-pair u32 packing.  Shared by MSDA and the Pallas DCNv2 path."""
+    B, ch, num_keys = vt.shape
     starts = [0]
     for h, w in spatial_shapes:
         starts.append(starts[-1] + h * w)
@@ -362,16 +359,29 @@ def _build_tables(value, spatial_shapes, packed):
     return table, level_base
 
 
+def _build_tables(value, spatial_shapes, packed):
+    """value [bs, keys, heads, ch] -> (table [bs*heads, CHT, HWp],
+    level_base panels).  One transpose of the raw value (keys -> minor),
+    then corner packing — the corner-packed-then-transpose order would cost
+    4x the relayout traffic."""
+    bs, num_keys, num_heads, ch = value.shape
+    vt = value.transpose(0, 2, 3, 1).reshape(bs * num_heads, ch, num_keys)
+    return _pack_tables_from_vt(vt, spatial_shapes, packed)
+
+
 def _prep_taps(
     reference_points, sampling_offsets, attention_weights, spatial_shapes,
-    num_heads, level_base,
+    num_heads, level_base, row_group=1,
 ):
     """Tap rows for the sorted kernel, computed in query-MINOR layout (one
     cheap transpose of each projection output instead of several large
     query-to-minor relayouts of derived tensors).
 
+    `row_group` consecutive rows (points of one level) share one panel
+    sweep in the kernel, so pmin/pspan are the UNION over each group.
+
     Returns lane [B, QB, rows, 128] i32, m4 [B, QB, rows, 4, 128] f32,
-    pmin/pspan [B, QB, rows] i32.
+    pmin/pspan [B, QB, rows//row_group] i32.
     """
     bs, num_q = reference_points.shape[:2]
     L = len(spatial_shapes)
@@ -401,18 +411,29 @@ def _prep_taps(
         refT = jnp.pad(refT, ((0, 0),) * 3 + ((0, q_pad),), constant_values=2.0)
 
     lanes, m4s, pmins, pspans = [], [], [], []
+    qp = num_q + q_pad
     for lvl, (H, W) in enumerate(spatial_shapes):
         # sampling locations in pixels (msda_sampling_locations semantics)
         rx = refT[:, :, 0][:, None, None]  # [bs, 1, 1, ppg, q]
         ry = refT[:, :, 1][:, None, None]
         x = (rx + offT[:, :, lvl, :, :, 0] / W) * W - 0.5
         y = (ry + offT[:, :, lvl, :, :, 1] / H) * H - 0.5
-        # [bs, heads, P//ppg, ppg, q] -> [bs, heads, P, q]
-        x = x.reshape(bs, num_heads, P, -1)
-        y = y.reshape(bs, num_heads, P, -1)
+        # z-MAJOR row order: [bs, heads, P//ppg, ppg, q] -> [bs, heads,
+        # ppg, P//ppg, q] -> [bs, heads, P, q].  Taps sharing a z-anchor
+        # land in the same union-sweep row group — z-anchors of one query
+        # project far apart vertically (different pillar heights), so
+        # grouping across z would blow the union span (tools/span_study.py:
+        # z-major RG=4 is ~1.3x fewer panel visits than tap-major).
+        x = x.transpose(0, 1, 3, 2, 4).reshape(bs, num_heads, P, qp)
+        y = y.transpose(0, 1, 3, 2, 4).reshape(bs, num_heads, P, qp)
         key, slots = bilinear_slot_terms_pixels(x, y, H, W)
         key = key + level_base[lvl] * 128
-        wl = wT[:, :, lvl]  # [bs, heads, P, q]
+        wl = (
+            wT[:, :, lvl]
+            .reshape(bs, num_heads, P // ppg, ppg, qp)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(bs, num_heads, P, qp)
+        )  # [bs, heads, P, q] in the same z-major order
         m4 = jnp.stack([s * wl for s in slots], axis=3)  # [bs, h, P, 4, q]
         lanes.append(key)
         m4s.append(m4)
@@ -422,9 +443,12 @@ def _prep_taps(
     m4 = m4.reshape(B, rows, 4, QB, 128).transpose(0, 3, 1, 2, 4)
 
     panel = key // 128
-    pmin = panel.min(-1).astype(jnp.int32)
-    pspan = (panel.max(-1) - pmin + 1).astype(jnp.int32)
-    lane = (key - pmin[..., None] * 128).astype(jnp.int32)
+    pg = panel.reshape(B, QB, rows // row_group, row_group * 128)
+    pmin = pg.min(-1).astype(jnp.int32)
+    pspan = (pg.max(-1).astype(jnp.int32) - pmin + 1)
+    lane = (key - jnp.repeat(pmin, row_group, axis=2)[..., None] * 128).astype(
+        jnp.int32
+    )
     return lane, m4.astype(jnp.float32), pmin, pspan
 
 
@@ -465,20 +489,30 @@ def multi_scale_deformable_attn_sorted(
     QB = (num_q + (-num_q) % 128) // 128
 
     table, level_base = _build_tables(value, spatial_shapes, packed)
-    lane, m4, pmin, pspan = _prep_taps(
-        reference_points, sampling_offsets, attention_weights, spatial_shapes,
-        num_heads, level_base,
-    )
 
     # v5e VMEM is ~16 MB scoped and the table block is double-buffered
     # across the grid's (cam*head) axis: split the 4 packed corners into
-    # groups when one table block would exceed the budget (same taps,
-    # partial corner-fused outputs summed — exact).
+    # groups when one table block would exceed ~8 MB (measured: groups=1 at
+    # the 7.96 MB cross-attn table is 1.76x faster than groups=2); the
+    # partial corner-fused outputs are summed — exact.
     blk_bytes = table.shape[1] * table.shape[2] * 4
     groups = corner_groups or (
-        1 if blk_bytes <= 6_200_000 else (2 if blk_bytes <= 12_400_000 else 4)
+        1 if blk_bytes <= 8_000_000 else (2 if blk_bytes <= 16_000_000 else 4)
     )
     cg = 4 // groups
+    nrows = cg * ch // 2 if packed else cg * ch
+    # union-sweep row group: as many points of one level as fit the per-visit
+    # register budget (row_group * nrows <= 256 gathered sublanes)
+    rg = 1
+    for d in range(2, P + 1):
+        if P % d == 0 and d * nrows <= 256:
+            rg = d
+
+    lane, m4, pmin, pspan = _prep_taps(
+        reference_points, sampling_offsets, attention_weights, spatial_shapes,
+        num_heads, level_base, row_group=rg,
+    )
+
     rows_per_corner = table.shape[1] // 4
     out = None
     for g in range(groups):
@@ -486,6 +520,7 @@ def multi_scale_deformable_attn_sorted(
         part = msda_gather_sorted(
             tg, lane, m4[..., g * cg : (g + 1) * cg, :], pmin, pspan,
             rows=rows, ch=ch, corners=cg, packed=packed, interpret=interpret,
+            row_group=rg,
         )  # [B, ch, QB*128] f32 (channels already in order — half pairing)
         out = part if out is None else out + part
     out = out.reshape(bs, num_heads, ch, QB * 128).transpose(0, 3, 1, 2)

@@ -44,13 +44,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(
-    pmin_ref, pspan_ref, lane_ref, m4_ref, vt_ref3, o_ref, *, rows, ch, corners, packed
+    pmin_ref, pspan_ref, lane_ref, m4_ref, vt_ref3, o_ref,
+    *, rows, ch, corners, packed, row_group, emit_rows=False,
 ):
     """One grid step = one query block (128 queries) of one (cam*head) table.
 
-    pmin/pspan [1, QB, rows] i32 (SMEM); lane [1, 1, rows, 128] i32;
-    m4 [1, 1, rows, corners, 128] f32; vt [1, CHT, HWp] (u32 pairs or f32);
-    o [1, ch, 128] f32.
+    pmin/pspan [1, QB, rows//row_group] i32 (SMEM); lane [1, 1, rows, 128]
+    i32; m4 [1, 1, rows, corners, 128] f32; vt [1, CHT, HWp] (u32 pairs or
+    f32); o [1, ch, 128] f32.
+
+    `row_group` rows (points of one level, whose sampling windows overlap
+    because they share a reference point) are swept TOGETHER over the union
+    of their panel ranges: the per-visit fixed overhead (dynamic-slice setup,
+    loop carry — measured ~110 ns vs ~15 ns per 32 gathered sublanes) is
+    paid once per union panel instead of once per row panel.
 
     (A manually-DMA'd single-buffered table scratch was tried — it would
     double the residency budget — but Mosaic hangs compiling the
@@ -63,54 +70,86 @@ def _kernel(
     hl = jnp.zeros((ch // 2, 128), jnp.float32) if packed else None
     nrows = (corners * ch // 2) if packed else (corners * ch)
     H2 = ch // 2
+    RG = row_group
 
-    for r in range(rows):
-        base = pmin_ref[0, qb, r]
-        span = pspan_ref[0, qb, r]
-        lane1 = lane_ref[0, 0, r : r + 1, :]  # [1, 128] — keep index math 1-vreg
-        lane = jnp.broadcast_to(lane1, (nrows, 128))
+    for g in range(rows // RG):
+        base = pmin_ref[0, qb, g]
+        span = pspan_ref[0, qb, g]
+        lane_g = lane_ref[0, 0, g * RG : (g + 1) * RG, :]  # [RG, 128]
+        lane = jnp.broadcast_to(
+            lane_g.reshape(RG, 1, 128), (RG, nrows, 128)
+        ).reshape(RG * nrows, 128)
 
         def visit(s, acc):
             panel = vt_ref3[0, :, pl.ds(pl.multiple_of((base + s) * 128, 128), 128)]
+            pb = jnp.broadcast_to(
+                panel.reshape(1, nrows, 128), (RG, nrows, 128)
+            ).reshape(RG * nrows, 128)
             l = jnp.clip(lane - s * 128, 0, 127)
-            g = jnp.take_along_axis(panel, l, axis=1)
-            return jnp.where((lane // 128) == s, g, acc)
+            gat = jnp.take_along_axis(pb, l, axis=1)
+            return jnp.where((lane // 128) == s, gat, acc)
 
-        zero = jnp.zeros((nrows, 128), vt_ref3.dtype)
+        zero = jnp.zeros((RG * nrows, 128), vt_ref3.dtype)
         acc = lax.fori_loop(0, span, visit, zero)
 
-        m = m4_ref[0, 0, r]  # [corners, 128] f32
         if packed:
             hi = pltpu.bitcast(acc & jnp.uint32(0xFFFF0000), jnp.float32)
             lo = pltpu.bitcast(acc << 16, jnp.float32)
-            for x in range(corners):
-                h = h + hi[x * H2 : (x + 1) * H2] * m[x : x + 1]
-                hl = hl + lo[x * H2 : (x + 1) * H2] * m[x : x + 1]
+            for p in range(RG):
+                m = m4_ref[0, 0, g * RG + p]  # [corners, 128] f32
+                if emit_rows:
+                    h = jnp.zeros((ch // 2, 128), jnp.float32)
+                    hl = jnp.zeros((ch // 2, 128), jnp.float32)
+                for x in range(corners):
+                    r0 = p * nrows + x * H2
+                    h = h + hi[r0 : r0 + H2] * m[x : x + 1]
+                    hl = hl + lo[r0 : r0 + H2] * m[x : x + 1]
+                if emit_rows:
+                    r = (g * RG + p) * ch
+                    o_ref[0, r : r + ch // 2, :] = h.astype(o_ref.dtype)
+                    o_ref[0, r + ch // 2 : r + ch, :] = hl.astype(o_ref.dtype)
         else:
-            for x in range(corners):
-                h = h + acc[x * ch : (x + 1) * ch] * m[x : x + 1]
+            for p in range(RG):
+                m = m4_ref[0, 0, g * RG + p]
+                if emit_rows:
+                    h = jnp.zeros((ch, 128), jnp.float32)
+                for x in range(corners):
+                    r0 = p * nrows + x * ch
+                    h = h + acc[r0 : r0 + ch] * m[x : x + 1]
+                if emit_rows:
+                    r = (g * RG + p) * ch
+                    o_ref[0, r : r + ch, :] = h.astype(o_ref.dtype)
 
-    if packed:
-        o_ref[0, 0 : ch // 2, :] = h
-        o_ref[0, ch // 2 : ch, :] = hl
-    else:
-        o_ref[0, :, :] = h
+    if not emit_rows:
+        if packed:
+            o_ref[0, 0 : ch // 2, :] = h
+            o_ref[0, ch // 2 : ch, :] = hl
+        else:
+            o_ref[0, :, :] = h
 
 
 @functools.partial(
-    jax.jit, static_argnames=("rows", "ch", "corners", "packed", "interpret")
+    jax.jit,
+    static_argnames=(
+        "rows", "ch", "corners", "packed", "interpret", "row_group",
+        "emit_rows", "tap_share", "out_dtype",
+    ),
 )
 def msda_gather_sorted(
     table: jax.Array,   # [B, CHT, HWp] — u32 ch-pairs (packed) or f32
-    lane: jax.Array,    # [B, QB, rows, 128] i32: key - pmin*128
-    m4: jax.Array,      # [B, QB, rows, corners, 128] f32 corner wts (x attn)
-    pmin: jax.Array,    # [B, QB, rows] i32 first panel of each row
-    pspan: jax.Array,   # [B, QB, rows] i32 panel count of each row
+    lane: jax.Array,    # [Bt, QB, rows, 128] i32: key - group pmin*128
+    m4: jax.Array,      # [Bt, QB, rows, corners, 128] f32 corner wts (x attn)
+    pmin: jax.Array,    # [Bt, QB, rows//row_group] i32 first panel per group
+    pspan: jax.Array,   # [Bt, QB, rows//row_group] i32 union panel count
     rows: int,
     ch: int,
     corners: int = 4,
     packed: bool = True,
     interpret: bool = False,
+    row_group: int = 1,
+    emit_rows: bool = False,
+    tap_share: int = 1,
+    out_dtype=jnp.float32,
 ) -> jax.Array:
     """Returns [B, ch, QB*128] f32.
 
@@ -121,30 +160,57 @@ def msda_gather_sorted(
     halves (k, k + ch/2) as (hi, lo) u32 halves (ops/msda._pack_bf16_halves),
     so the kernel's hi/lo accumulators are channels [0, ch/2) and [ch/2, ch)
     directly — the output needs no un-interleave.
+
+    emit_rows=True writes each row's corner-blended sample to its own output
+    channel block instead of summing rows: out [B, rows*ch, QB*128] — the
+    channel-major im2col used by the Pallas DCNv2 path (ops/dcn.py), where a
+    per-tap GEMM against the conv weights follows.
+
+    tap_share=G: lane/m4/pmin/pspan carry Bt = B // G entries; G consecutive
+    grid b indices (channel groups of one image) share entry b // G — the
+    caller avoids materializing G broadcast copies of the tap tensors.
     """
     B, CHT, HWp = table.shape
     QB = lane.shape[1]
+    ng = rows // row_group
+    Bt = B // tap_share
     assert HWp % 128 == 0
-    assert lane.shape == (B, QB, rows, 128)
+    assert rows % row_group == 0
+    assert B % tap_share == 0
+    assert lane.shape == (Bt, QB, rows, 128)
+    assert pmin.shape == (Bt, QB, ng) and pspan.shape == (Bt, QB, ng)
     assert CHT == (corners * ch // 2 if packed else corners * ch)
+    G = tap_share
+    out_ch = rows * ch if emit_rows else ch
 
     return pl.pallas_call(
-        functools.partial(_kernel, rows=rows, ch=ch, corners=corners, packed=packed),
+        functools.partial(
+            _kernel, rows=rows, ch=ch, corners=corners, packed=packed,
+            row_group=row_group, emit_rows=emit_rows,
+        ),
         grid=(B, QB),
         in_specs=[
-            pl.BlockSpec((1, QB, rows), lambda b, q: (b, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, QB, rows), lambda b, q: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (1, 1, rows, 128), lambda b, q: (b, q, 0, 0), memory_space=pltpu.VMEM
+                (1, QB, ng), lambda b, q: (b // G, 0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (1, QB, ng), lambda b, q: (b // G, 0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, rows, 128),
+                lambda b, q: (b // G, q, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 1, rows, corners, 128),
-                lambda b, q: (b, q, 0, 0, 0),
+                lambda b, q: (b // G, q, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((1, CHT, HWp), lambda b, q: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, ch, 128), lambda b, q: (b, 0, q), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, ch, QB * 128), jnp.float32),
+        out_specs=pl.BlockSpec(
+            (1, out_ch, 128), lambda b, q: (b, 0, q), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, out_ch, QB * 128), out_dtype),
         interpret=interpret,
     )(pmin, pspan, lane, m4, table)

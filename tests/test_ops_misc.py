@@ -200,3 +200,24 @@ def test_inverse(rng):
     ref = np.linalg.inv(mats.astype(np.float64))
     assert _mad(inverse(mats), ref) < 1e-5
     assert _mad(inverse_4x4(mats), ref) < 1e-5
+
+
+@pytest.mark.parametrize("stride,cin", [(1, 32), (2, 64)])
+def test_dcn_pallas_matches_xla(rng, stride, cin):
+    """Pallas im2col DCN path (interpret mode, f32 tables) must match the
+    XLA formulation exactly — covers channel groups (G=Cin/32) and stride."""
+    from bevformer_tensorrt_tpu.ops.dcn import _dcn_pallas, _dcn_xla
+
+    N, Cin, H, W = 2, cin, 9, 11
+    Cout, kh, kw = 8, 3, 3
+    x = rng.standard_normal((N, Cin, H, W)).astype(np.float32)
+    Ho = (H + 2 - 2 - 1) // stride + 1
+    Wo = (W + 2 - 2 - 1) // stride + 1
+    offset = (rng.standard_normal((N, 2 * kh * kw, Ho, Wo)) * 1.5).astype(np.float32)
+    mask = rng.random((N, kh * kw, Ho, Wo)).astype(np.float32)
+    weight = (rng.standard_normal((Cout, Cin, kh, kw)) * 0.1).astype(np.float32)
+    a = _dcn_pallas(
+        x, offset, mask, weight, stride, 1, 1, packed=False, interpret=True
+    )
+    b = _dcn_xla(x, offset, mask, weight, stride, 1, 1, 1, 1)
+    assert _mad(a, np.asarray(b)) < 1e-5
