@@ -32,15 +32,20 @@ from ..layers import QDense
 import functools
 
 
-def resolve_msda_impl(name: str):
+def resolve_msda_impl(name: str, quant=False):
     """Kernel-variant dispatch (the reference's TRT/TRTP/TRTP2 plugin-variant
     tier collapsed to one knob, configs/bevformer.py `msda_impl`):
       'jnp'    — chunked XLA path (differentiable; CPU/GPU/TPU)
       'sorted' — Pallas sorted-tap gather kernel (ops/pallas/msda_gather)
       'auto'   — 'sorted' on TPU, 'jnp' elsewhere
+    With quant == 'int8' the sorted kernel stores the value tables as
+    int8-quad u32 words (the reference's int8 MSDA plugin tier,
+    TensorRT/plugin/multi_scale_deformable_attn int8 path) — quarter the
+    VMEM and half the gather rows of the bf16-pair packing.
     """
     if name == "sorted" or (name == "auto" and jax.default_backend() == "tpu"):
-        return functools.partial(multi_scale_deformable_attn_sorted, packed=True)
+        packed = "int8" if quant == "int8" else True
+        return functools.partial(multi_scale_deformable_attn_sorted, packed=packed)
     return multi_scale_deformable_attn
 
 
@@ -94,7 +99,7 @@ class TemporalSelfAttention(nn.Module):
         off = off.reshape(nq, H, Q, L * P * 2).transpose(2, 0, 1, 3)
         attn = attn.reshape(nq, H, Q, L * P).transpose(2, 0, 1, 3)
 
-        out = resolve_msda_impl(self.msda_impl)(
+        out = resolve_msda_impl(self.msda_impl, self.quant)(
             v, reference_points.reshape(Q, nq, 1, 2), off, attn, spatial_shapes
         )  # [Q, Nq, C]
         out = out.mean(axis=0, keepdims=True)  # fuse history & current
@@ -160,7 +165,7 @@ class MSDeformableAttention3D(nn.Module):
                 ref_c = jnp.where((topv > 0).reshape(cams, K, 1, 1), ref_c, 2.0)
             off_c = off[topi]     # [cams, K, H, L*P*2]
             attn_c = attn[topi]   # [cams, K, H, L*P]
-            out_k = resolve_msda_impl(self.msda_impl)(
+            out_k = resolve_msda_impl(self.msda_impl, self.quant)(
                 v, ref_c, off_c, attn_c, spatial_shapes
             )  # [cams, K, C]
             weighted = (out_k * topv[..., None]).astype(out_k.dtype)
@@ -171,7 +176,7 @@ class MSDeformableAttention3D(nn.Module):
             )
             return slots[None]
         ref = reference_points_cam.reshape(cams, nq, 1, -1)
-        out = resolve_msda_impl(self.msda_impl)(
+        out = resolve_msda_impl(self.msda_impl, self.quant)(
             v,
             ref,
             jnp.broadcast_to(off[None], (cams, nq, H, L * P * 2)),
@@ -260,7 +265,7 @@ class CustomMSDeformableAttention(nn.Module):
         v = v.reshape(1, -1, H, C // H)
         off = QDense(H * L * P * 2, quant=self.quant, name="sampling_offsets")(query)
         attn = QDense(H * L * P, quant=self.quant, name="attention_weights")(query)
-        out = resolve_msda_impl(self.msda_impl)(
+        out = resolve_msda_impl(self.msda_impl, self.quant)(
             v,
             reference_points.reshape(1, nq, 1, 2),
             off.reshape(1, nq, H, L * P * 2),

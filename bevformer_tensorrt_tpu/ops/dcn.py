@@ -118,7 +118,7 @@ def _dcn_pallas(
     vt = x.reshape(B, ch_group, H * W).astype(
         jnp.bfloat16 if packed else jnp.float32
     )
-    table, _ = _pack_tables_from_vt(vt, ((H, W),), packed)
+    table, _, _ = _pack_tables_from_vt(vt, ((H, W),), packed)
 
     f32 = jnp.float32
     off = offset.astype(f32).reshape(N, rows, 2, S)

@@ -326,10 +326,31 @@ def _pack_bf16_halves(vt, ch):
     return ((u16[:, :, 0] << 16) | u16[:, :, 1]).reshape(B, 2 * ch, HWp)
 
 
+def _pack_int8_quarters(vt, ch, scale):
+    """[B, 4ch, HWp] f32-ish -> [B, ch, HWp] uint32: per corner block,
+    channel quarters (k, k+ch/4, k+ch/2, k+3ch/4) quantized to int8 with
+    the per-B `scale` and packed msb-first — the reference's int8 MSDA
+    value payload (TensorRT/plugin/.../multiScaleDeformableAttnKernel.cu
+    int8 path), with a dynamic per-(cam, head) scale instead of a
+    calibrated per-tensor one.  Dequant is folded into the kernel's m4
+    weights (out = scale * sum m * q), so the kernel needs no epilogue."""
+    B, CHT, HWp = vt.shape
+    q = jnp.clip(
+        jnp.round(vt.astype(jnp.float32) / scale[:, None, None]), -127, 127
+    ).astype(jnp.int32)
+    u8 = (q & 0xFF).astype(jnp.uint32).reshape(B, 4, 4, ch // 4, HWp)
+    packed = (
+        (u8[:, :, 0] << 24) | (u8[:, :, 1] << 16) | (u8[:, :, 2] << 8) | u8[:, :, 3]
+    )
+    return packed.reshape(B, ch, HWp)
+
+
 def _pack_tables_from_vt(vt, spatial_shapes, packed):
     """vt [B, ch, keys] (keys-minor, levels concatenated) -> (table
-    [B, CHT, HWp], level_base panels): corner packing via minor-axis rolls
-    and half-pair u32 packing.  Shared by MSDA and the Pallas DCNv2 path."""
+    [B, CHT, HWp], level_base panels, scale [B] or None): corner packing
+    via minor-axis rolls and u32 packing (bf16 half-pairs, or int8
+    quarters with a dynamic per-B scale when packed == 'int8').  Shared by
+    MSDA and the Pallas DCNv2 path."""
     B, ch, num_keys = vt.shape
     starts = [0]
     for h, w in spatial_shapes:
@@ -355,15 +376,23 @@ def _pack_tables_from_vt(vt, spatial_shapes, packed):
         level_base.append(panels)
         panels += (H * W + hw_pad) // 128
     table = jnp.concatenate(tables, axis=-1)
-    table = _pack_bf16_halves(table, ch) if packed else table.astype(jnp.float32)
-    return table, level_base
+    scale = None
+    if packed == "int8":
+        amax = jnp.max(jnp.abs(vt.astype(jnp.float32)), axis=(1, 2))
+        scale = jnp.maximum(amax, 1e-12) / 127.0
+        table = _pack_int8_quarters(table, ch, scale)
+    elif packed:
+        table = _pack_bf16_halves(table, ch)
+    else:
+        table = table.astype(jnp.float32)
+    return table, level_base, scale
 
 
 def _build_tables(value, spatial_shapes, packed):
     """value [bs, keys, heads, ch] -> (table [bs*heads, CHT, HWp],
-    level_base panels).  One transpose of the raw value (keys -> minor),
-    then corner packing — the corner-packed-then-transpose order would cost
-    4x the relayout traffic."""
+    level_base panels, scale).  One transpose of the raw value (keys ->
+    minor), then corner packing — the corner-packed-then-transpose order
+    would cost 4x the relayout traffic."""
     bs, num_keys, num_heads, ch = value.shape
     vt = value.transpose(0, 2, 3, 1).reshape(bs * num_heads, ch, num_keys)
     return _pack_tables_from_vt(vt, spatial_shapes, packed)
@@ -475,8 +504,10 @@ def multi_scale_deformable_attn_sorted(
     (the encoder's camera compaction provides that order).
 
     packed=True stores the tables as u32 bf16-pairs (TPU production path:
-    half the VMEM + vregs); packed=False keeps f32 tables (fp32-exact,
-    used by interpret-mode tests).
+    half the VMEM + vregs); packed='int8' quantizes the value payload to
+    u32 int8-quads with a dynamic per-(cam, head) scale (the reference's
+    int8 MSDA plugin contract — quarter the VMEM, half the gather rows of
+    bf16); packed=False keeps f32 tables (fp32-exact, interpret tests).
     """
     from .pallas.msda_gather import msda_gather_sorted
 
@@ -487,8 +518,9 @@ def multi_scale_deformable_attn_sorted(
     rows = L * P
     B = bs * num_heads
     QB = (num_q + (-num_q) % 128) // 128
+    sub = 4 if packed == "int8" else (2 if packed else 1)
 
-    table, level_base = _build_tables(value, spatial_shapes, packed)
+    table, level_base, scale = _build_tables(value, spatial_shapes, packed)
 
     # v5e VMEM is ~16 MB scoped and the table block is double-buffered
     # across the grid's (cam*head) axis: split the 4 packed corners into
@@ -500,7 +532,7 @@ def multi_scale_deformable_attn_sorted(
         1 if blk_bytes <= 8_000_000 else (2 if blk_bytes <= 16_000_000 else 4)
     )
     cg = 4 // groups
-    nrows = cg * ch // 2 if packed else cg * ch
+    nrows = cg * ch // sub
     # union-sweep row group: as many points of one level as fit the per-visit
     # register budget (row_group * nrows <= 256 gathered sublanes)
     rg = 1
@@ -512,6 +544,9 @@ def multi_scale_deformable_attn_sorted(
         reference_points, sampling_offsets, attention_weights, spatial_shapes,
         num_heads, level_base, row_group=rg,
     )
+    if scale is not None:
+        # dequant folded into the corner weights: out = s_b * sum m * q
+        m4 = m4 * scale[:, None, None, None, None]
 
     rows_per_corner = table.shape[1] // 4
     out = None

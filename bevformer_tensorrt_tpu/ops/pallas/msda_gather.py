@@ -66,11 +66,12 @@ def _kernel(
     """
     qb = pl.program_id(1)
 
-    h = jnp.zeros((ch // 2 if packed else ch, 128), jnp.float32)
-    hl = jnp.zeros((ch // 2, 128), jnp.float32) if packed else None
-    nrows = (corners * ch // 2) if packed else (corners * ch)
-    H2 = ch // 2
+    int8 = packed == "int8"
+    sub = 4 if int8 else (2 if packed else 1)  # channels per table word
+    Hs = ch // sub
+    nrows = corners * Hs
     RG = row_group
+    hs = [jnp.zeros((Hs, 128), jnp.float32) for _ in range(sub)]
 
     for g in range(rows // RG):
         base = pmin_ref[0, qb, g]
@@ -92,40 +93,41 @@ def _kernel(
         zero = jnp.zeros((RG * nrows, 128), vt_ref3.dtype)
         acc = lax.fori_loop(0, span, visit, zero)
 
-        if packed:
-            hi = pltpu.bitcast(acc & jnp.uint32(0xFFFF0000), jnp.float32)
-            lo = pltpu.bitcast(acc << 16, jnp.float32)
-            for p in range(RG):
-                m = m4_ref[0, 0, g * RG + p]  # [corners, 128] f32
-                if emit_rows:
-                    h = jnp.zeros((ch // 2, 128), jnp.float32)
-                    hl = jnp.zeros((ch // 2, 128), jnp.float32)
-                for x in range(corners):
-                    r0 = p * nrows + x * H2
-                    h = h + hi[r0 : r0 + H2] * m[x : x + 1]
-                    hl = hl + lo[r0 : r0 + H2] * m[x : x + 1]
-                if emit_rows:
-                    r = (g * RG + p) * ch
-                    o_ref[0, r : r + ch // 2, :] = h.astype(o_ref.dtype)
-                    o_ref[0, r + ch // 2 : r + ch, :] = hl.astype(o_ref.dtype)
+        # unpack the table word into `sub` f32 channel planes:
+        #   int8: byte j (msb first) = channel quarter j (sign-extended)
+        #   bf16: hi/lo half = channel half
+        #   f32:  identity
+        if int8:
+            ai = pltpu.bitcast(acc, jnp.int32)
+            planes = [
+                ((ai << (8 * j)) >> 24).astype(jnp.float32) for j in range(4)
+            ]
+        elif packed:
+            planes = [
+                pltpu.bitcast(acc & jnp.uint32(0xFFFF0000), jnp.float32),
+                pltpu.bitcast(acc << 16, jnp.float32),
+            ]
         else:
-            for p in range(RG):
-                m = m4_ref[0, 0, g * RG + p]
-                if emit_rows:
-                    h = jnp.zeros((ch, 128), jnp.float32)
-                for x in range(corners):
-                    r0 = p * nrows + x * ch
-                    h = h + acc[r0 : r0 + ch] * m[x : x + 1]
-                if emit_rows:
-                    r = (g * RG + p) * ch
-                    o_ref[0, r : r + ch, :] = h.astype(o_ref.dtype)
+            planes = [acc]
+
+        for p in range(RG):
+            m = m4_ref[0, 0, g * RG + p]  # [corners, 128] f32
+            if emit_rows:
+                hs = [jnp.zeros((Hs, 128), jnp.float32) for _ in range(sub)]
+            for x in range(corners):
+                r0 = p * nrows + x * Hs
+                for j in range(sub):
+                    hs[j] = hs[j] + planes[j][r0 : r0 + Hs] * m[x : x + 1]
+            if emit_rows:
+                r = (g * RG + p) * ch
+                for j in range(sub):
+                    o_ref[0, r + j * Hs : r + (j + 1) * Hs, :] = hs[j].astype(
+                        o_ref.dtype
+                    )
 
     if not emit_rows:
-        if packed:
-            o_ref[0, 0 : ch // 2, :] = h
-            o_ref[0, ch // 2 : ch, :] = hl
-        else:
-            o_ref[0, :, :] = h
+        for j in range(sub):
+            o_ref[0, j * Hs : (j + 1) * Hs, :] = hs[j]
 
 
 @functools.partial(
@@ -179,7 +181,8 @@ def msda_gather_sorted(
     assert B % tap_share == 0
     assert lane.shape == (Bt, QB, rows, 128)
     assert pmin.shape == (Bt, QB, ng) and pspan.shape == (Bt, QB, ng)
-    assert CHT == (corners * ch // 2 if packed else corners * ch)
+    sub = 4 if packed == "int8" else (2 if packed else 1)
+    assert CHT == corners * ch // sub, (CHT, corners, ch, packed)
     G = tap_share
     out_ch = rows * ch if emit_rows else ch
 
