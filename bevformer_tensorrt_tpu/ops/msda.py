@@ -483,7 +483,9 @@ def _prep_taps(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("spatial_shapes", "packed", "interpret", "corner_groups"),
+    static_argnames=(
+        "spatial_shapes", "packed", "interpret", "key_groups", "row_group"
+    ),
 )
 def multi_scale_deformable_attn_sorted(
     value: jax.Array,
@@ -493,7 +495,8 @@ def multi_scale_deformable_attn_sorted(
     spatial_shapes: Tuple[Tuple[int, int], ...],
     packed: bool = True,
     interpret: bool = False,
-    corner_groups: int | None = None,
+    key_groups: int | None = None,
+    row_group: int | None = None,
 ) -> jax.Array:
     """MSDA through the Pallas sorted-tap gather kernel (pallas/msda_gather).
 
@@ -523,40 +526,71 @@ def multi_scale_deformable_attn_sorted(
     table, level_base, scale = _build_tables(value, spatial_shapes, packed)
 
     # v5e VMEM is ~16 MB scoped and the table block is double-buffered
-    # across the grid's (cam*head) axis: split the 4 packed corners into
-    # groups when one table block would exceed ~8 MB (measured: groups=1 at
-    # the 7.96 MB cross-attn table is 1.76x faster than groups=2); the
-    # partial corner-fused outputs are summed — exact.
+    # across the grid's (cam*head) axis: when one table block would exceed
+    # ~8 MB, split it along the KEY axis into panel ranges.  Each tap lands
+    # in exactly one range, so span clipping + the whole-block alive skip
+    # make the off-range passes nearly free — unlike the earlier corner
+    # split, which re-paid every panel visit per corner group (temporal
+    # self-attention ran 2x the visits for its 10.3 MB table).
     blk_bytes = table.shape[1] * table.shape[2] * 4
-    groups = corner_groups or (
-        1 if blk_bytes <= 8_000_000 else (2 if blk_bytes <= 16_000_000 else 4)
-    )
-    cg = 4 // groups
-    nrows = cg * ch // sub
-    # union-sweep row group: as many points of one level as fit the per-visit
-    # register budget (row_group * nrows <= 256 gathered sublanes)
+    panels_total = table.shape[2] // 128
+    n_splits = key_groups or max(1, -(-blk_bytes // 8_000_000))
+    n_splits = min(n_splits, panels_total)
+    nrows = 4 * ch // sub
+    # union-sweep row group: as many points as fit the per-visit register
+    # budget (row_group * nrows <= 256 gathered sublanes), but never across
+    # z-anchor boundaries — z-anchors of one query project far apart
+    # vertically, so a union over them sweeps the whole image column
+    # (measured: int8's auto rg=8 across 4 z's made the kernel SLOWER than
+    # bf16 in-model despite halving the gathered sublanes).
+    ppg = reference_points.shape[-1] // 2
+    rg_cap = max(1, P // ppg) if ppg > 1 else P
     rg = 1
     for d in range(2, P + 1):
-        if P % d == 0 and d * nrows <= 256:
+        if P % d == 0 and d <= rg_cap and d * nrows <= 256:
             rg = d
+    if row_group is not None:
+        rg = row_group
 
     lane, m4, pmin, pspan = _prep_taps(
         reference_points, sampling_offsets, attention_weights, spatial_shapes,
         num_heads, level_base, row_group=rg,
     )
+    # whole-block skip flags: a 128-query block whose every corner weight is
+    # zero (the compaction's invisible tail) is written as zeros by the
+    # kernel without sweeping — exact, and per-camera dynamic.
+    alive = (
+        jnp.abs(m4).sum(axis=(2, 3, 4)) > 0
+    ).astype(jnp.int32)  # [B, QB]
     if scale is not None:
         # dequant folded into the corner weights: out = s_b * sum m * q
         m4 = m4 * scale[:, None, None, None, None]
 
-    rows_per_corner = table.shape[1] // 4
-    out = None
-    for g in range(groups):
-        tg = table[:, g * cg * rows_per_corner : (g + 1) * cg * rows_per_corner]
-        part = msda_gather_sorted(
-            tg, lane, m4[..., g * cg : (g + 1) * cg, :], pmin, pspan,
-            rows=rows, ch=ch, corners=cg, packed=packed, interpret=interpret,
-            row_group=rg,
+    if n_splits == 1:
+        out = msda_gather_sorted(
+            table, lane, m4, pmin, pspan,
+            rows=rows, ch=ch, corners=4, packed=packed, interpret=interpret,
+            row_group=rg, alive=alive,
         )  # [B, ch, QB*128] f32 (channels already in order — half pairing)
-        out = part if out is None else out + part
+    else:
+        per = -(-panels_total // n_splits)
+        pmax = pmin + pspan - 1
+        out = None
+        for h in range(n_splits):
+            h0, h1 = h * per, min((h + 1) * per, panels_total)
+            lo = jnp.clip(pmin, h0, h1 - 1)
+            hi = jnp.clip(pmax, h0, h1 - 1)
+            # groups with no panel inside [h0, h1) sweep nothing; taps whose
+            # panel falls outside the clipped window never match a sweep
+            # position (panel_id <0 or >span), so no m4 masking is needed.
+            span_h = jnp.where((pmax < h0) | (pmin >= h1), 0, hi - lo + 1)
+            lane_h = lane + jnp.repeat(pmin - lo, rg, axis=2)[..., None] * 128
+            alive_h = alive * (span_h.max(axis=-1) > 0)
+            part = msda_gather_sorted(
+                table[:, :, h0 * 128 : h1 * 128], lane_h, m4, lo - h0, span_h,
+                rows=rows, ch=ch, corners=4, packed=packed,
+                interpret=interpret, row_group=rg, alive=alive_h,
+            )
+            out = part if out is None else out + part
     out = out.reshape(bs, num_heads, ch, QB * 128).transpose(0, 3, 1, 2)
     return out[:, :num_q].reshape(bs, num_q, num_heads * ch).astype(value.dtype)

@@ -44,7 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(
-    pmin_ref, pspan_ref, lane_ref, m4_ref, vt_ref3, o_ref,
+    pmin_ref, pspan_ref, alive_ref, lane_ref, m4_ref, vt_ref3, o_ref,
     *, rows, ch, corners, packed, row_group, emit_rows=False,
 ):
     """One grid step = one query block (128 queries) of one (cam*head) table.
@@ -71,14 +71,48 @@ def _kernel(
     Hs = ch // sub
     nrows = corners * Hs
     RG = row_group
-    hs = [jnp.zeros((Hs, 128), jnp.float32) for _ in range(sub)]
+
+    # whole-block skip: camera compaction sorts invisible queries to the
+    # tail, so ~45% of cross-attention blocks carry only zero-weight taps
+    # (tools/geometry_analysis.py: max real visibility 25% vs 35% budget).
+    # Their correct output is exactly 0 — write it and do nothing else.
+    @pl.when(alive_ref[0, qb, 0] == 0)
+    def _dead():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    @pl.when(alive_ref[0, qb, 0] != 0)
+    def _live():
+        hs = [jnp.zeros((Hs, 128), jnp.float32) for _ in range(sub)]
+        _blend(
+            qb, pmin_ref, pspan_ref, lane_ref, m4_ref, vt_ref3, o_ref, hs,
+            rows=rows, ch=ch, corners=corners, packed=packed,
+            row_group=row_group, emit_rows=emit_rows,
+        )
+
+
+def _blend(
+    qb, pmin_ref, pspan_ref, lane_ref, m4_ref, vt_ref3, o_ref, hs,
+    *, rows, ch, corners, packed, row_group, emit_rows,
+):
+    int8 = packed == "int8"
+    sub = 4 if int8 else (2 if packed else 1)
+    Hs = ch // sub
+    nrows = corners * Hs
+    RG = row_group
 
     for g in range(rows // RG):
         base = pmin_ref[0, qb, g]
         span = pspan_ref[0, qb, g]
         lane_g = lane_ref[0, 0, g * RG : (g + 1) * RG, :]  # [RG, 128]
-        lane = jnp.broadcast_to(
-            lane_g.reshape(RG, 1, 128), (RG, nrows, 128)
+        # a lane's in-panel index is lane & 127 for the panel it belongs to
+        # (and don't-care elsewhere — the select masks it), so the per-visit
+        # work is one compare + one gather + one select; the subtract/clip/
+        # divide of earlier variants are hoisted here, once per group.
+        lane_mod = jnp.broadcast_to(
+            (lane_g & 127).reshape(RG, 1, 128), (RG, nrows, 128)
+        ).reshape(RG * nrows, 128)
+        panel_id = jnp.broadcast_to(
+            (lane_g >> 7).reshape(RG, 1, 128), (RG, nrows, 128)
         ).reshape(RG * nrows, 128)
 
         def visit(s, acc):
@@ -86,9 +120,8 @@ def _kernel(
             pb = jnp.broadcast_to(
                 panel.reshape(1, nrows, 128), (RG, nrows, 128)
             ).reshape(RG * nrows, 128)
-            l = jnp.clip(lane - s * 128, 0, 127)
-            gat = jnp.take_along_axis(pb, l, axis=1)
-            return jnp.where((lane // 128) == s, gat, acc)
+            gat = jnp.take_along_axis(pb, lane_mod, axis=1)
+            return jnp.where(panel_id == s, gat, acc)
 
         zero = jnp.zeros((RG * nrows, 128), vt_ref3.dtype)
         acc = lax.fori_loop(0, span, visit, zero)
@@ -152,6 +185,7 @@ def msda_gather_sorted(
     emit_rows: bool = False,
     tap_share: int = 1,
     out_dtype=jnp.float32,
+    alive: jax.Array | None = None,  # [Bt, QB] i32; 0 = all-zero block (skip)
 ) -> jax.Array:
     """Returns [B, ch, QB*128] f32.
 
@@ -185,6 +219,10 @@ def msda_gather_sorted(
     assert CHT == corners * ch // sub, (CHT, corners, ch, packed)
     G = tap_share
     out_ch = rows * ch if emit_rows else ch
+    if alive is None:
+        alive = jnp.ones((Bt, QB), jnp.int32)
+    assert alive.shape == (Bt, QB)
+    alive3 = alive.astype(jnp.int32).reshape(Bt, QB, 1)
 
     return pl.pallas_call(
         functools.partial(
@@ -198,6 +236,9 @@ def msda_gather_sorted(
             ),
             pl.BlockSpec(
                 (1, QB, ng), lambda b, q: (b // G, 0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (1, QB, 1), lambda b, q: (b // G, 0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
                 (1, 1, rows, 128),
@@ -216,4 +257,4 @@ def msda_gather_sorted(
         ),
         out_shape=jax.ShapeDtypeStruct((B, out_ch, QB * 128), out_dtype),
         interpret=interpret,
-    )(pmin, pspan, lane, m4, table)
+    )(pmin, pspan, alive3, lane, m4, table)

@@ -101,10 +101,11 @@ class TestMSDASorted:
         tol = {False: 1e-5, True: 2e-2, "int8": 8e-2}[packed]
         np.testing.assert_allclose(got, want, rtol=tol, atol=tol)
 
-    @pytest.mark.parametrize("groups", [2, 4])
-    def test_corner_group_split(self, rng, groups):
-        """VMEM-overflow fallback: splitting the packed corners into groups
-        and summing partials must be exact vs the unsplit call."""
+    @pytest.mark.parametrize("groups", [2, 3])
+    def test_key_group_split(self, rng, groups):
+        """VMEM-overflow fallback: splitting the table into key (panel)
+        ranges and summing partials must be exact vs the unsplit call —
+        including groups whose panel window straddles a range boundary."""
         from bevformer_tensorrt_tpu.ops import (
             multi_scale_deformable_attn_reference,
             multi_scale_deformable_attn_sorted,
@@ -118,7 +119,7 @@ class TestMSDASorted:
         got = np.asarray(
             multi_scale_deformable_attn_sorted(
                 value, ref, off, attn, shapes, packed=False, interpret=True,
-                corner_groups=groups,
+                key_groups=groups,
             )
         )
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
