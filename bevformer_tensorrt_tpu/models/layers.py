@@ -56,10 +56,30 @@ class QDense(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, q_minor: bool = False):
+        """q_minor=True contracts the SECOND-minor axis of x and emits the
+        output features second-minor: x [..., f_in, q] -> y [..., f_out, q].
+        The feature axis becomes part of the matmul instead of a separate
+        relayout — on TPU, producing attention offsets/weights/values in the
+        kernel-friendly query-minor layout this way is free, while
+        transposing the q-major dense output costs a full HBM round trip.
+        Parameters are identical in both orientations (kernel [f_in, f_out]).
+        """
+        f_in = x.shape[-2] if q_minor else x.shape[-1]
         kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features), jnp.float32
+            "kernel", nn.initializers.lecun_normal(), (f_in, self.features), jnp.float32
         )
+
+        def mm(xv, kv, **kw):
+            if q_minor:
+                return jnp.einsum("fo,...fq->...oq", kv, xv, **kw)
+            return jax.lax.dot_general(
+                xv, kv, (((xv.ndim - 1,), (0,)), ((), ())), **kw
+            )
+
+        def badd(y, bias):
+            return y + (bias[:, None] if q_minor else bias)
+
         if self.quant:
             x_scaled, s_in = QDQ(name="qdq_in", with_scale=True)(x)
             if self.quant == "int8" and s_in is not None:
@@ -69,22 +89,21 @@ class QDense(nn.Module):
                 wq = jnp.clip(
                     jnp.round(kernel / w_scale[None, :]), -127, 127
                 ).astype(jnp.int8)
-                acc = jax.lax.dot_general(
-                    xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
+                acc = mm(xq, wq, preferred_element_type=jnp.int32)
+                y = acc.astype(jnp.float32) * (
+                    s_in * (w_scale[:, None] if q_minor else w_scale)
                 )
-                y = acc.astype(jnp.float32) * (s_in * w_scale)
                 if self.use_bias:
                     bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-                    y = y + bias
+                    y = badd(y, bias)
                 return y.astype(x.dtype)
             x = x_scaled
             kernel = WeightFakeQuant(channel_axis=1, name="wq")(kernel)
         dtype = self.dtype or x.dtype
-        y = jnp.dot(x.astype(dtype), kernel.astype(dtype))
+        y = mm(x.astype(dtype), kernel.astype(dtype))
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-            y = y + bias.astype(dtype)
+            y = badd(y, bias.astype(dtype))
         return y
 
 

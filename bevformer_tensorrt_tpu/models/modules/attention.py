@@ -26,10 +26,15 @@ from ...ops import (
     multi_head_attention,
     multi_scale_deformable_attn,
     multi_scale_deformable_attn_sorted,
+    multi_scale_deformable_attn_sorted_qm,
 )
 from ...quant.qdq import QDQ
 from ..layers import QDense
 import functools
+
+
+def msda_impl_is_sorted(name: str) -> bool:
+    return name == "sorted" or (name == "auto" and jax.default_backend() == "tpu")
 
 
 def resolve_msda_impl(name: str, quant=False):
@@ -43,7 +48,7 @@ def resolve_msda_impl(name: str, quant=False):
     TensorRT/plugin/multi_scale_deformable_attn int8 path) — quarter the
     VMEM and half the gather rows of the bf16-pair packing.
     """
-    if name == "sorted" or (name == "auto" and jax.default_backend() == "tpu"):
+    if msda_impl_is_sorted(name):
         packed = "int8" if quant == "int8" else True
         return functools.partial(multi_scale_deformable_attn_sorted, packed=packed)
     return multi_scale_deformable_attn
@@ -87,21 +92,56 @@ class TemporalSelfAttention(nn.Module):
         nq = query.shape[1]
         if query_pos is not None:
             query = query + query_pos
-        # concat prev-frame BEV with the (pos-augmented) query for offset pred
-        qcat = jnp.concatenate([value[0:1], query], axis=-1)  # [1, Nq, 2C]
 
-        v = QDense(C, quant=self.quant, name="value_proj")(value)
-        v = v.reshape(Q, nq, H, C // H)
-
-        off = QDense(Q * H * L * P * 2, quant=self.quant, name="sampling_offsets")(qcat)
-        attn = QDense(Q * H * L * P, quant=self.quant, name="attention_weights")(qcat)
-        # [1, Nq, H, Q, L*P*2] -> queue folded into batch: [Q, Nq, H, L*P*2]
-        off = off.reshape(nq, H, Q, L * P * 2).transpose(2, 0, 1, 3)
-        attn = attn.reshape(nq, H, Q, L * P).transpose(2, 0, 1, 3)
-
-        out = resolve_msda_impl(self.msda_impl, self.quant)(
-            v, reference_points.reshape(Q, nq, 1, 2), off, attn, spatial_shapes
-        )  # [Q, Nq, C]
+        if msda_impl_is_sorted(self.msda_impl):
+            # q-minor dataflow (see MSDeformableAttention3D): value and qcat
+            # transposed once; projections emit query-minor for free; the
+            # sorted op's internal relayouts disappear.
+            packed = "int8" if self.quant == "int8" else True
+            value_T = value.transpose(0, 2, 1)  # [Q, C, nq]
+            v_t = QDense(C, quant=self.quant, name="value_proj")(
+                value_T, q_minor=True
+            )
+            q_t = query.transpose(0, 2, 1)      # [1, C, nq]
+            qcat_t = jnp.concatenate([value_T[0:1], q_t], axis=1)  # [1, 2C, nq]
+            off_t = QDense(
+                Q * H * L * P * 2, quant=self.quant, name="sampling_offsets"
+            )(qcat_t, q_minor=True)
+            attn_t = QDense(
+                Q * H * L * P, quant=self.quant, name="attention_weights"
+            )(qcat_t, q_minor=True)
+            # feature order (H, Q, L*P*2) -> queue folded into batch
+            off_t = off_t.reshape(H, Q, L * P * 2, nq).transpose(1, 0, 2, 3)
+            attn_t = attn_t.reshape(H, Q, L * P, nq).transpose(1, 0, 2, 3)
+            ref_t = reference_points.reshape(Q, nq, 1, 2).transpose(0, 2, 3, 1)
+            out = multi_scale_deformable_attn_sorted_qm(
+                v_t,
+                ref_t,
+                off_t.reshape(Q, H * L * P * 2, nq),
+                attn_t.reshape(Q, H * L * P, nq),
+                spatial_shapes,
+                num_heads=H,
+                packed=packed,
+                out_dtype=query.dtype,
+            )  # [Q, Nq, C]
+        else:
+            # concat prev-frame BEV with the (pos-augmented) query
+            qcat = jnp.concatenate([value[0:1], query], axis=-1)  # [1, Nq, 2C]
+            v = QDense(C, quant=self.quant, name="value_proj")(value)
+            v = v.reshape(Q, nq, H, C // H)
+            off = QDense(
+                Q * H * L * P * 2, quant=self.quant, name="sampling_offsets"
+            )(qcat)
+            attn = QDense(
+                Q * H * L * P, quant=self.quant, name="attention_weights"
+            )(qcat)
+            # [1, Nq, H, Q, L*P*2] -> queue folded into batch: [Q, Nq, H, *]
+            off = off.reshape(nq, H, Q, L * P * 2).transpose(2, 0, 1, 3)
+            attn = attn.reshape(nq, H, Q, L * P).transpose(2, 0, 1, 3)
+            out = resolve_msda_impl(self.msda_impl, self.quant)(
+                v, reference_points.reshape(Q, nq, 1, 2), off, attn,
+                spatial_shapes,
+            )  # [Q, Nq, C]
         out = out.mean(axis=0, keepdims=True)  # fuse history & current
         out = QDense(C, quant=self.quant, name="output_proj")(out)
         return out + (query if identity is None else identity)
@@ -138,17 +178,12 @@ class MSDeformableAttention3D(nn.Module):
         bev_mask,              # [num_cams, Nq, 1] normalized weights
         spatial_shapes: Tuple[Tuple[int, int], ...],
         compaction=None,       # optional (topi [cams,K], topv [cams,K], ref_c)
+        value_t=None,          # optional [num_cams, C, num_keys] (q-minor path)
     ):
         C, H = self.embed_dims, self.num_heads
         cams, nq = reference_points_cam.shape[:2]
         L, P = self.num_levels, self.num_points
-
-        v = QDense(C, quant=self.quant, name="value_proj")(value)
-        v = v.reshape(cams, -1, H, C // H)
-        off = QDense(H * L * P * 2, quant=self.quant, name="sampling_offsets")(query)
-        attn = QDense(H * L * P, quant=self.quant, name="attention_weights")(query)
-        off = off.reshape(nq, H, L * P * 2)
-        attn = attn.reshape(nq, H, L * P)
+        ppg = reference_points_cam.shape[-1] // 2
 
         K = min(nq, -(-int(nq * self.cam_budget) // 128) * 128)
         if K < nq:
@@ -163,11 +198,45 @@ class MSDeformableAttention3D(nn.Module):
                 # invisible selections: pin outside the image (weight 0,
                 # border key) so kernel rows stay panel-local (see encoder)
                 ref_c = jnp.where((topv > 0).reshape(cams, K, 1, 1), ref_c, 2.0)
-            off_c = off[topi]     # [cams, K, H, L*P*2]
-            attn_c = attn[topi]   # [cams, K, H, L*P]
-            out_k = resolve_msda_impl(self.msda_impl, self.quant)(
-                v, ref_c, off_c, attn_c, spatial_shapes
-            )  # [cams, K, C]
+
+            if value_t is not None and msda_impl_is_sorted(self.msda_impl):
+                # q-minor dataflow: the per-camera compacted query is the
+                # ONLY relayout — value_proj consumes the frame-constant
+                # channel-minor value, and the offset/weight projections emit
+                # query-minor directly (the transpose folds into the matmul),
+                # so none of the q-major path's large gathers/relayouts
+                # (off[topi], attn[topi], prep transposes) materialize.
+                packed = "int8" if self.quant == "int8" else True
+                v_t = QDense(C, quant=self.quant, name="value_proj")(
+                    value_t, q_minor=True
+                )  # [cams, C, keys]
+                q_c = query[0][topi]                 # [cams, K, C]
+                q_ct = q_c.transpose(0, 2, 1)        # [cams, C, K]
+                off_t = QDense(
+                    H * L * P * 2, quant=self.quant, name="sampling_offsets"
+                )(q_ct, q_minor=True)                # [cams, H*L*P*2, K]
+                attn_t = QDense(
+                    H * L * P, quant=self.quant, name="attention_weights"
+                )(q_ct, q_minor=True)                # [cams, H*L*P, K]
+                ref_t = ref_c.reshape(cams, K, ppg, 2).transpose(0, 2, 3, 1)
+                out_k = multi_scale_deformable_attn_sorted_qm(
+                    v_t, ref_t, off_t, attn_t, spatial_shapes, num_heads=H,
+                    packed=packed, out_dtype=query.dtype,
+                )  # [cams, K, C]
+            else:
+                v = QDense(C, quant=self.quant, name="value_proj")(value)
+                v = v.reshape(cams, -1, H, C // H)
+                off = QDense(
+                    H * L * P * 2, quant=self.quant, name="sampling_offsets"
+                )(query)
+                attn = QDense(
+                    H * L * P, quant=self.quant, name="attention_weights"
+                )(query)
+                off_c = off.reshape(nq, H, L * P * 2)[topi]
+                attn_c = attn.reshape(nq, H, L * P)[topi]
+                out_k = resolve_msda_impl(self.msda_impl, self.quant)(
+                    v, ref_c, off_c, attn_c, spatial_shapes
+                )  # [cams, K, C]
             weighted = (out_k * topv[..., None]).astype(out_k.dtype)
             slots = (
                 jnp.zeros((nq, C), out_k.dtype)
@@ -175,6 +244,13 @@ class MSDeformableAttention3D(nn.Module):
                 .add(weighted.reshape(-1, C), mode="drop")
             )
             return slots[None]
+
+        v = QDense(C, quant=self.quant, name="value_proj")(value)
+        v = v.reshape(cams, -1, H, C // H)
+        off = QDense(H * L * P * 2, quant=self.quant, name="sampling_offsets")(query)
+        attn = QDense(H * L * P, quant=self.quant, name="attention_weights")(query)
+        off = off.reshape(nq, H, L * P * 2)
+        attn = attn.reshape(nq, H, L * P)
         ref = reference_points_cam.reshape(cams, nq, 1, -1)
         out = resolve_msda_impl(self.msda_impl, self.quant)(
             v,
@@ -213,6 +289,7 @@ class SpatialCrossAttention(nn.Module):
         bev_mask,              # [num_cams, Nq, 1] normalized weights
         spatial_shapes: Tuple[Tuple[int, int], ...],
         compaction=None,
+        value_t=None,          # [num_cams, C, num_keys] q-minor value
     ):
         inp_residual = query if identity is None else identity
         if query_pos is not None:
@@ -227,7 +304,10 @@ class SpatialCrossAttention(nn.Module):
             quant=self.quant,
             msda_impl=self.msda_impl,
             name="deformable_attention",
-        )(query, value, reference_points_cam, bev_mask, spatial_shapes, compaction)
+        )(
+            query, value, reference_points_cam, bev_mask, spatial_shapes,
+            compaction, value_t,
+        )
 
         slots = QDense(self.embed_dims, quant=self.quant, name="output_proj")(slots)
         return slots + inp_residual

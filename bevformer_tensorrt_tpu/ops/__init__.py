@@ -11,6 +11,7 @@ from .msda import (
     multi_scale_deformable_attn,
     multi_scale_deformable_attn_reference,
     multi_scale_deformable_attn_sorted,
+    multi_scale_deformable_attn_sorted_qm,
     msda_sampling_locations,
 )
 from .rotate import rotate
@@ -25,6 +26,7 @@ __all__ = [
     "grid_sampler",
     "multi_scale_deformable_attn",
     "multi_scale_deformable_attn_sorted",
+    "multi_scale_deformable_attn_sorted_qm",
     "msda_sampling_locations",
     "rotate",
     "bev_pool_v2",

@@ -402,9 +402,38 @@ def _prep_taps(
     reference_points, sampling_offsets, attention_weights, spatial_shapes,
     num_heads, level_base, row_group=1,
 ):
-    """Tap rows for the sorted kernel, computed in query-MINOR layout (one
-    cheap transpose of each projection output instead of several large
-    query-to-minor relayouts of derived tensors).
+    """Tap rows for the sorted kernel from q-MAJOR projections: transposes
+    each projection output to query-minor and delegates to the q-minor core
+    (`_prep_taps_qminor`).  Callers that can produce q-minor projections
+    directly (QDense q_minor=True) skip these relayouts entirely.
+    """
+    bs, num_q = reference_points.shape[:2]
+    L = len(spatial_shapes)
+    P = attention_weights.shape[-1] // L
+    ppg = reference_points.shape[-1] // 2
+
+    offT = (
+        sampling_offsets.astype(jnp.float32)
+        .transpose(0, 2, 3, 1)
+        .reshape(bs, num_heads, L, P // ppg, ppg, 2, num_q)
+    )
+    attnT = attention_weights.astype(jnp.float32).transpose(0, 2, 3, 1)
+    refT = reference_points.astype(jnp.float32).reshape(
+        bs, num_q, ppg, 2
+    ).transpose(0, 2, 3, 1)  # [bs, ppg, 2, q]
+    return _prep_taps_qminor(
+        refT, offT, attnT, spatial_shapes, num_heads, level_base, row_group
+    )
+
+
+def _prep_taps_qminor(
+    refT, offT, attnT, spatial_shapes, num_heads, level_base, row_group=1,
+):
+    """Tap rows for the sorted kernel, query-MINOR layout throughout.
+
+    refT [bs, ppg, 2, num_q] f32; offT [bs, heads, L, P//ppg, ppg, 2, num_q]
+    f32; attnT [bs, heads, L*P, num_q] f32 RAW logits (softmax here, over
+    the L*P axis — matching the fused-op contract).
 
     `row_group` consecutive rows (points of one level) share one panel
     sweep in the kernel, so pmin/pspan are the UNION over each group.
@@ -412,26 +441,16 @@ def _prep_taps(
     Returns lane [B, QB, rows, 128] i32, m4 [B, QB, rows, 4, 128] f32,
     pmin/pspan [B, QB, rows//row_group] i32.
     """
-    bs, num_q = reference_points.shape[:2]
-    L = len(spatial_shapes)
-    P = attention_weights.shape[-1] // L
+    bs, num_heads_, L = offT.shape[:3]
+    num_q = refT.shape[-1]
+    P = attnT.shape[2] // L
     rows = L * P
     B = bs * num_heads
-    ppg = reference_points.shape[-1] // 2
+    ppg = refT.shape[1]
     q_pad = (-num_q) % 128
     QB = (num_q + q_pad) // 128
 
-    # q-minor projections
-    offT = (
-        sampling_offsets.astype(jnp.float32)
-        .transpose(0, 2, 3, 1)
-        .reshape(bs, num_heads, L, P // ppg, ppg, 2, num_q)
-    )
-    attnT = attention_weights.astype(jnp.float32).transpose(0, 2, 3, 1)
     wT = jax.nn.softmax(attnT, axis=2).reshape(bs, num_heads, L, P, num_q)
-    refT = reference_points.astype(jnp.float32).reshape(
-        bs, num_q, ppg, 2
-    ).transpose(0, 2, 3, 1)  # [bs, ppg, 2, q]
 
     if q_pad:
         pad = ((0, 0),) * (offT.ndim - 1) + ((0, q_pad),)
@@ -512,18 +531,92 @@ def multi_scale_deformable_attn_sorted(
     int8 MSDA plugin contract — quarter the VMEM, half the gather rows of
     bf16); packed=False keeps f32 tables (fp32-exact, interpret tests).
     """
-    from .pallas.msda_gather import msda_gather_sorted
-
     bs, num_keys, num_heads, ch = value.shape
-    num_q = reference_points.shape[1]
     L = len(spatial_shapes)
     P = attention_weights.shape[-1] // L
+    ppg = reference_points.shape[-1] // 2
+
+    vt = value.transpose(0, 2, 3, 1).reshape(bs * num_heads, ch, num_keys)
+    offT = (
+        sampling_offsets.astype(jnp.float32)
+        .transpose(0, 2, 3, 1)
+        .reshape(bs, num_heads, L, P // ppg, ppg, 2, reference_points.shape[1])
+    )
+    attnT = attention_weights.astype(jnp.float32).transpose(0, 2, 3, 1)
+    refT = reference_points.astype(jnp.float32).reshape(
+        bs, -1, ppg, 2
+    ).transpose(0, 2, 3, 1)
+    return _sorted_core(
+        vt, refT, offT, attnT, spatial_shapes, num_heads,
+        packed=packed, interpret=interpret, key_groups=key_groups,
+        row_group=row_group, out_dtype=value.dtype,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "spatial_shapes", "num_heads", "packed", "interpret", "key_groups",
+        "row_group", "out_dtype",
+    ),
+)
+def multi_scale_deformable_attn_sorted_qm(
+    value_t: jax.Array,   # [bs, heads*ch, num_keys] channel-second-minor
+    ref_t: jax.Array,     # [bs, ppg, 2, num_q] f32 normalized
+    off_t: jax.Array,     # [bs, heads*L*P*2, num_q] raw pixel offsets
+    attn_t: jax.Array,    # [bs, heads*L*P, num_q] RAW logits
+    spatial_shapes: Tuple[Tuple[int, int], ...],
+    num_heads: int,
+    packed: bool = True,
+    interpret: bool = False,
+    key_groups: int | None = None,
+    row_group: int | None = None,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Query-minor entry to the sorted MSDA op: every input arrives in the
+    layout the kernel wants (value channel-minor for the tables, projections
+    query-minor for the tap prep), so none of the q-major path's large
+    relayouts exist.  Produce the inputs with `QDense(..., q_minor=True)` —
+    the transpose then folds into the projection matmul for free.
+
+    Returns [bs, num_q, heads*ch] in `out_dtype`.
+    """
+    bs = value_t.shape[0]
+    ch = value_t.shape[1] // num_heads
+    L = len(spatial_shapes)
+    P = attn_t.shape[1] // (num_heads * L)
+    ppg = ref_t.shape[1]
+    num_q = ref_t.shape[-1]
+
+    vt = value_t.reshape(bs * num_heads, ch, value_t.shape[-1])
+    offT = off_t.astype(jnp.float32).reshape(
+        bs, num_heads, L, P // ppg, ppg, 2, num_q
+    )
+    attnT = attn_t.astype(jnp.float32).reshape(bs, num_heads, L * P, num_q)
+    return _sorted_core(
+        vt, ref_t.astype(jnp.float32), offT, attnT, spatial_shapes, num_heads,
+        packed=packed, interpret=interpret, key_groups=key_groups,
+        row_group=row_group, out_dtype=out_dtype,
+    )
+
+
+def _sorted_core(
+    vt, refT, offT, attnT, spatial_shapes, num_heads,
+    *, packed, interpret, key_groups, row_group, out_dtype,
+):
+    from .pallas.msda_gather import msda_gather_sorted
+
+    bs = offT.shape[0]
+    ch = vt.shape[1]
+    L = len(spatial_shapes)
+    P = attnT.shape[2] // L
     rows = L * P
     B = bs * num_heads
+    num_q = refT.shape[-1]
     QB = (num_q + (-num_q) % 128) // 128
     sub = 4 if packed == "int8" else (2 if packed else 1)
 
-    table, level_base, scale = _build_tables(value, spatial_shapes, packed)
+    table, level_base, scale = _pack_tables_from_vt(vt, spatial_shapes, packed)
 
     # v5e VMEM is ~16 MB scoped and the table block is double-buffered
     # across the grid's (cam*head) axis: when one table block would exceed
@@ -543,7 +636,7 @@ def multi_scale_deformable_attn_sorted(
     # vertically, so a union over them sweeps the whole image column
     # (measured: int8's auto rg=8 across 4 z's made the kernel SLOWER than
     # bf16 in-model despite halving the gathered sublanes).
-    ppg = reference_points.shape[-1] // 2
+    ppg = refT.shape[1]
     rg_cap = max(1, P // ppg) if ppg > 1 else P
     rg = 1
     for d in range(2, P + 1):
@@ -552,9 +645,8 @@ def multi_scale_deformable_attn_sorted(
     if row_group is not None:
         rg = row_group
 
-    lane, m4, pmin, pspan = _prep_taps(
-        reference_points, sampling_offsets, attention_weights, spatial_shapes,
-        num_heads, level_base, row_group=rg,
+    lane, m4, pmin, pspan = _prep_taps_qminor(
+        refT, offT, attnT, spatial_shapes, num_heads, level_base, row_group=rg
     )
     # whole-block skip flags: a 128-query block whose every corner weight is
     # zero (the compaction's invisible tail) is written as zeros by the
@@ -565,6 +657,12 @@ def multi_scale_deformable_attn_sorted(
     if scale is not None:
         # dequant folded into the corner weights: out = s_b * sum m * q
         m4 = m4 * scale[:, None, None, None, None]
+    if packed:
+        # packed (bf16/int8 table) paths carry m4 in bf16 — the [0,1] corner
+        # x attention weights match the reference fp16 plugin's weight
+        # precision, and m4 is the largest per-layer prep tensor.  The f32
+        # table path keeps f32 m4 (fp32-exactness contract for tests).
+        m4 = m4.astype(jnp.bfloat16)
 
     if n_splits == 1:
         out = msda_gather_sorted(
@@ -593,4 +691,4 @@ def multi_scale_deformable_attn_sorted(
             )
             out = part if out is None else out + part
     out = out.reshape(bs, num_heads, ch, QB * 128).transpose(0, 3, 1, 2)
-    return out[:, :num_q].reshape(bs, num_q, num_heads * ch).astype(value.dtype)
+    return out[:, :num_q].reshape(bs, num_q, num_heads * ch).astype(out_dtype)

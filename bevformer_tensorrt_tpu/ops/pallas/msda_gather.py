@@ -144,7 +144,9 @@ def _blend(
             planes = [acc]
 
         for p in range(RG):
-            m = m4_ref[0, 0, g * RG + p]  # [corners, 128] f32
+            # m4 arrives bf16 on the packed paths (halves the largest prep
+            # tensor's HBM traffic + VMEM block); blend math stays f32.
+            m = m4_ref[0, 0, g * RG + p].astype(jnp.float32)  # [corners, 128]
             if emit_rows:
                 hs = [jnp.zeros((Hs, 128), jnp.float32) for _ in range(sub)]
             for x in range(corners):

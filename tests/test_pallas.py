@@ -101,6 +101,40 @@ class TestMSDASorted:
         tol = {False: 1e-5, True: 2e-2, "int8": 8e-2}[packed]
         np.testing.assert_allclose(got, want, rtol=tol, atol=tol)
 
+    @pytest.mark.parametrize("ppg", [1, 2])
+    def test_qminor_entry_matches_qmajor(self, rng, ppg):
+        """The query-minor entry (value channel-minor, projections q-minor)
+        must agree with the q-major wrapper — identical core math, inputs
+        transposed by the caller instead of internally."""
+        from bevformer_tensorrt_tpu.ops import (
+            multi_scale_deformable_attn_sorted,
+            multi_scale_deformable_attn_sorted_qm,
+        )
+
+        shapes = ((12, 20), (6, 10))
+        heads, ch, P = 4, 8, 4
+        value, ref, off, attn = self._rand_case(
+            rng, 2, 256, heads, ch, shapes, P=P, ppg=ppg
+        )
+        want = np.asarray(
+            multi_scale_deformable_attn_sorted(
+                value, ref, off, attn, shapes, packed=False, interpret=True
+            )
+        )
+        bs, nq = ref.shape[:2]
+        L = len(shapes)
+        value_t = value.transpose(0, 2, 3, 1).reshape(bs, heads * ch, -1)
+        ref_t = ref.reshape(bs, nq, ppg, 2).transpose(0, 2, 3, 1)
+        off_t = off.transpose(0, 2, 3, 1).reshape(bs, heads * L * P * 2, nq)
+        attn_t = attn.transpose(0, 2, 3, 1).reshape(bs, heads * L * P, nq)
+        got = np.asarray(
+            multi_scale_deformable_attn_sorted_qm(
+                value_t, ref_t, off_t, attn_t, shapes, num_heads=heads,
+                packed=False, interpret=True, out_dtype=jnp.float32,
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
     @pytest.mark.parametrize("groups", [2, 3])
     def test_key_group_split(self, rng, groups):
         """VMEM-overflow fallback: splitting the table into key (panel)

@@ -172,3 +172,35 @@ class TestInt8EndToEnd:
         assert np.all(np.isfinite(coords_i8))
         # int accumulation is exact; small drift from requantized epilogues
         assert np.abs(coords_i8 - coords_qdq).mean() < 0.05
+
+
+class TestQDenseQMinor:
+    """QDense(q_minor=True) contracts the second-minor axis and emits
+    features second-minor: y_qm == transpose(y_qmajor) for every quant mode
+    (same parameters, same calibration scales)."""
+
+    @pytest.mark.parametrize("quant", [False, True, "int8"])
+    def test_matches_qmajor(self, rng, quant):
+        import jax
+        import jax.numpy as jnp
+        from flax import traverse_util
+
+        from bevformer_tensorrt_tpu.models.layers import QDense
+
+        x = jnp.asarray(rng.standard_normal((3, 40, 16)), jnp.float32)
+        xt = x.transpose(0, 2, 1)
+        m = QDense(24, quant=quant)
+        variables = m.init(jax.random.PRNGKey(0), x)
+        if quant:
+            # calibrate: one amax pass, then attach scales
+            _, mut = m.apply(variables, x, mutable=["amax_stats"])
+            flat = traverse_util.flatten_dict(
+                jax.tree.map(lambda a: jnp.maximum(a, 1e-6) / 127.0, mut["amax_stats"])
+            )
+            flat = {p[:-1] + ("scale",): v for p, v in flat.items()}
+            variables = {**variables, "quant": traverse_util.unflatten_dict(flat)}
+        y = m.apply(variables, x)
+        yt = m.apply(variables, xt, q_minor=True)
+        np.testing.assert_allclose(
+            np.asarray(yt.transpose(0, 2, 1)), np.asarray(y), rtol=1e-5, atol=1e-5
+        )
