@@ -87,6 +87,7 @@ class DeformConv2d(nn.Module):
             dilation=1,
             groups=1,
             deform_groups=dg,
+            quant="int8" if self.quant == "int8" else False,
         )
         return out.transpose(0, 2, 3, 1)
 

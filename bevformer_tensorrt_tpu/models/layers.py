@@ -35,6 +35,25 @@ class WeightFakeQuant(nn.Module):
         return fake_quant(w, per_channel_scale(w, axis=axis))
 
 
+def _check_int8_scale_fn(mod, s_in):
+    """quant='int8' with no calibrated activation scale would silently
+    degrade to fake-quant (a deploy misconfiguration quietly running fp);
+    fail at trace time instead — unless this is an init or calibration
+    pass, where scales legitimately don't exist yet."""
+    if (
+        mod.quant == "int8"
+        and s_in is None
+        and not mod.is_initializing()
+        and not mod.is_mutable_collection("amax_stats")
+        and not mod.is_mutable_collection("hist_stats")
+    ):
+        raise ValueError(
+            f"{mod.__class__.__name__} '{mod.name}': quant='int8' requires "
+            "calibrated activation scales (the 'quant' collection); run the "
+            "calibration tool first, or use quant=True for fake-quant."
+        )
+
+
 class QDense(nn.Module):
     """Dense with quantization sites.
 
@@ -46,8 +65,8 @@ class QDense(nn.Module):
                per-tensor scale, weight per-channel int8, MXU int8 matmul
                accumulating int32, fused dequant (the reference plugins'
                INT8 path, e.g. multiScaleDeformableAttnKernel.cu:849-956).
-               Requires the "quant" collection (calibration scales); falls
-               back to fake-quant when absent.
+               Requires the "quant" collection (calibration scales);
+               raises at trace time when absent outside init/calibration.
     """
 
     features: int
@@ -82,6 +101,7 @@ class QDense(nn.Module):
 
         if self.quant:
             x_scaled, s_in = QDQ(name="qdq_in", with_scale=True)(x)
+            _check_int8_scale_fn(self, s_in)
             if self.quant == "int8" and s_in is not None:
                 # real int8 path: quantize with the calibrated scale
                 xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_in), -127, 127).astype(jnp.int8)
@@ -133,6 +153,7 @@ class QConv(nn.Module):
         )
         if self.quant:
             x_scaled, s_in = QDQ(name="qdq_in", with_scale=True)(x)
+            _check_int8_scale_fn(self, s_in)
             if self.quant == "int8" and s_in is not None:
                 # real int8 conv: MXU int8 with int32 accumulate
                 xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_in), -127, 127).astype(jnp.int8)

@@ -27,11 +27,14 @@ class DecoderLayer(nn.Module):
     def __call__(self, query, query_pos, value, reference_points_2d, spatial_shapes):
         cfg = self.cfg
         identity = query
+        # keep the query path in the compute dtype (flax LayerNorm would
+        # promote to f32 and pin every downstream matmul there)
+        dt = query.dtype
         query = MultiheadAttention(
             embed_dims=cfg.embed_dims, num_heads=cfg.num_heads, quant=cfg.quant,
             name="self_attn",
         )(query, query, query, identity, query_pos, query_pos)
-        query = nn.LayerNorm(name="norm1")(query)
+        query = nn.LayerNorm(name="norm1")(query).astype(dt)
         identity = query
         query = CustomMSDeformableAttention(
             embed_dims=cfg.embed_dims,
@@ -42,9 +45,9 @@ class DecoderLayer(nn.Module):
             msda_impl=cfg.msda_impl,
             name="cross_attn",
         )(query, value, identity, query_pos, reference_points_2d, spatial_shapes)
-        query = nn.LayerNorm(name="norm2")(query)
+        query = nn.LayerNorm(name="norm2")(query).astype(dt)
         query = FFN(cfg.embed_dims, cfg.ffn_dims, quant=cfg.quant, name="ffn")(query)
-        return nn.LayerNorm(name="norm3")(query)
+        return nn.LayerNorm(name="norm3")(query).astype(dt)
 
 
 class DetectionTransformerDecoder(nn.Module):

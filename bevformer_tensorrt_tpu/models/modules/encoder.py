@@ -112,6 +112,10 @@ class BEVFormerLayer(nn.Module):
     ):
         cfg = self.cfg
         identity = query
+        # flax LayerNorm promotes bf16 x f32 params to f32 and would leave
+        # the whole query path (and every QDense matmul on it) running f32;
+        # keep f32 statistics but return the compute dtype.
+        dt = query.dtype
 
         query = TemporalSelfAttention(
             embed_dims=cfg.embed_dims,
@@ -128,7 +132,7 @@ class BEVFormerLayer(nn.Module):
             hybrid_ref_2d,
             ((cfg.bev_h, cfg.bev_w),),
         )
-        query = nn.LayerNorm(name="norm1")(query)
+        query = nn.LayerNorm(name="norm1")(query).astype(dt)
         identity = query
 
         query = SpatialCrossAttention(
@@ -152,9 +156,9 @@ class BEVFormerLayer(nn.Module):
             compaction,
             value_t,
         )
-        query = nn.LayerNorm(name="norm2")(query)
+        query = nn.LayerNorm(name="norm2")(query).astype(dt)
         query = FFN(cfg.embed_dims, cfg.ffn_dims, quant=cfg.quant, name="ffn")(query)
-        return nn.LayerNorm(name="norm3")(query)
+        return nn.LayerNorm(name="norm3")(query).astype(dt)
 
 
 class BEVFormerEncoder(nn.Module):
@@ -251,7 +255,8 @@ class BEVFormerEncoder(nn.Module):
             # first-frame mux (encoder.py:587-589): when use_prev_bev == 0 the
             # history slot is replaced by the current query.
             cur_stack = jnp.concatenate([output, output], axis=0)
-            layer_prev = use_prev_bev * prev_queue + (1.0 - use_prev_bev) * cur_stack
+            mux = use_prev_bev.astype(output.dtype)
+            layer_prev = mux * prev_queue.astype(output.dtype) + (1 - mux) * cur_stack
             output = BEVFormerLayer(cfg, name=f"layer{i}")(
                 output,
                 value,

@@ -97,10 +97,17 @@ def _dcn_xla(
 
 def _dcn_pallas(
     x, offset, mask, weight, stride, padding, dilation,
-    packed=True, interpret=False, ch_group=32,
+    packed=True, interpret=False, ch_group=None,
 ):
     """Sorted-gather im2col + single GEMM (requires groups=dg=1,
-    Cin % ch_group == 0)."""
+    Cin % ch_group == 0).
+
+    ch_group (channels per table) defaults from the v5e sweep
+    (/tmp round-2 probes, chained-call timing at c4 [6,256,58,100]):
+    bf16 128 (3.4 ms vs 4.6 at 32 — fewer per-visit fixed costs), int8 64
+    (1.75 ms — half the gathered sublanes again).  The reference's int8
+    DCN plugin makes the same trade (TensorRT/README.md x5.1 dcn row).
+    """
     from .msda import _pack_tables_from_vt, bilinear_slot_terms_pixels
     from .pallas.msda_gather import msda_gather_sorted
 
@@ -112,13 +119,16 @@ def _dcn_pallas(
     S = Ho * Wo
     q_pad = (-S) % 128
     QB = (S + q_pad) // 128
+    if ch_group is None:
+        want = 64 if packed == "int8" else 128
+        ch_group = want if Cin % want == 0 else 32
     G = Cin // ch_group
     B = N * G
 
     vt = x.reshape(B, ch_group, H * W).astype(
         jnp.bfloat16 if packed else jnp.float32
     )
-    table, _, _ = _pack_tables_from_vt(vt, ((H, W),), packed)
+    table, _, scale = _pack_tables_from_vt(vt, ((H, W),), packed)
 
     f32 = jnp.float32
     off = offset.astype(f32).reshape(N, rows, 2, S)
@@ -146,11 +156,9 @@ def _dcn_pallas(
     key = key.reshape(N, rows, QB, 128).transpose(0, 2, 1, 3)  # [N, QB, rows, 128]
     m4 = m4.reshape(N, rows, 4, QB, 128).transpose(0, 3, 1, 2, 4)
 
-    rg = 1
-    nrows = 4 * ch_group // 2 if packed else 4 * ch_group
-    for d in (3, kh):
-        if rows % d == 0 and d * nrows <= 256:
-            rg = d
+    # one kernel row (kw taps, same y) per union sweep: measured faster than
+    # rg=1 at every ch_group — the taps' windows overlap by construction
+    rg = kw if rows % kw == 0 else 1
     panel = key // 128
     pg = panel.reshape(N, QB, rows // rg, rg * 128)
     pmin = pg.min(-1).astype(jnp.int32)
@@ -159,11 +167,15 @@ def _dcn_pallas(
 
     mm_dtype = jnp.bfloat16 if packed else f32
     im = msda_gather_sorted(
-        table, lane, m4.astype(f32), pmin, pspan,
+        table, lane, m4.astype(jnp.bfloat16 if packed else f32), pmin, pspan,
         rows=rows, ch=ch_group, corners=4, packed=packed, interpret=interpret,
         row_group=rg, emit_rows=True, tap_share=G, out_dtype=mm_dtype,
     )  # [B, rows*chg, QB*128]
     im = im.reshape(N, G, rows, ch_group, QB * 128)
+    if scale is not None:
+        # int8 table dequant: out is linear in the table, so the per-(image,
+        # channel-group) scale lands on the im2col rows
+        im = im * scale.reshape(N, G)[:, :, None, None, None].astype(mm_dtype)
     wf = weight.astype(mm_dtype).reshape(Cout, G, ch_group, rows)
     out = jnp.einsum(
         "ogct,ngtcs->nos", wf, im, preferred_element_type=f32
@@ -171,17 +183,17 @@ def _dcn_pallas(
     return out.reshape(N, Cout, Ho, Wo)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _dcn_pallas_diff(x, offset, mask, weight, stride, padding, dilation):
-    return _dcn_pallas(x, offset, mask, weight, stride, padding, dilation)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _dcn_pallas_diff(x, offset, mask, weight, stride, padding, dilation, packed=True):
+    return _dcn_pallas(x, offset, mask, weight, stride, padding, dilation, packed=packed)
 
 
-def _dcn_pallas_fwd(x, offset, mask, weight, stride, padding, dilation):
-    out = _dcn_pallas(x, offset, mask, weight, stride, padding, dilation)
+def _dcn_pallas_fwd(x, offset, mask, weight, stride, padding, dilation, packed=True):
+    out = _dcn_pallas(x, offset, mask, weight, stride, padding, dilation, packed=packed)
     return out, (x, offset, mask, weight)
 
 
-def _dcn_pallas_bwd(stride, padding, dilation, res, g):
+def _dcn_pallas_bwd(stride, padding, dilation, packed, res, g):
     x, offset, mask, weight = res
     _, vjp = jax.vjp(
         lambda *a: _dcn_xla(*a, stride, padding, dilation, 1, 1),
@@ -196,7 +208,8 @@ _dcn_pallas_diff.defvjp(_dcn_pallas_fwd, _dcn_pallas_bwd)
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "stride", "padding", "dilation", "groups", "deform_groups", "impl"
+        "stride", "padding", "dilation", "groups", "deform_groups", "impl",
+        "quant",
     ),
 )
 def modulated_deform_conv2d(
@@ -211,6 +224,7 @@ def modulated_deform_conv2d(
     groups: int = 1,
     deform_groups: int = 1,
     impl: str = "auto",
+    quant: bool | str = False,
 ) -> jax.Array:
     """DCNv2 forward.
 
@@ -222,6 +236,9 @@ def modulated_deform_conv2d(
       weight: [Cout, Cin//groups, kh, kw]
       bias: [Cout] or None.
       impl: 'auto' (Pallas on TPU when eligible), 'pallas', or 'jnp'.
+      quant: 'int8' packs the gather table int8 (quarter VMEM, half the
+        gathered sublanes; ~1% rel err — the reference's int8 DCN plugin
+        trade, TensorRT/README.md modulated-deform-conv x5.1 row).
     Returns:
       [N, Cout, Ho, Wo]
     """
@@ -239,7 +256,8 @@ def modulated_deform_conv2d(
     )
     if use_pallas:
         out = _dcn_pallas_diff(
-            x, offset, mask, weight, stride, padding, dilation
+            x, offset, mask, weight, stride, padding, dilation,
+            "int8" if quant == "int8" else True,
         )
     else:
         out = _dcn_xla(

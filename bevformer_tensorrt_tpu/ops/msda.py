@@ -313,53 +313,62 @@ def bilinear_slot_terms_pixels(x, y, H, W):
 
 
 def _pack_bf16_halves(vt, ch):
-    """[B, 4ch, HWp] -> [B, 2ch, HWp] uint32: per corner block, channel
-    halves (k, k+ch/2) packed as (hi, lo) — Mosaic dynamic_gather needs
-    32-bit data, and contiguous-half pairing avoids strided slicing here
-    AND any un-interleave after the kernel (its hi/lo outputs are already
-    channels [0, ch/2) and [ch/2, ch) in order)."""
-    B, CHT, HWp = vt.shape
+    """[B, ch, keys] -> [B, ch/2, keys] uint32: channel halves (k, k+ch/2)
+    packed as (hi, lo) — Mosaic dynamic_gather needs 32-bit data, and
+    contiguous-half pairing avoids strided slicing here AND any
+    un-interleave after the kernel (its hi/lo outputs are already channels
+    [0, ch/2) and [ch/2, ch) in order)."""
+    B, _, keys = vt.shape
     u16 = jax.lax.bitcast_convert_type(
         vt.astype(jnp.bfloat16), jnp.uint16
     ).astype(jnp.uint32)
-    u16 = u16.reshape(B, 4, 2, ch // 2, HWp)
-    return ((u16[:, :, 0] << 16) | u16[:, :, 1]).reshape(B, 2 * ch, HWp)
+    u16 = u16.reshape(B, 2, ch // 2, keys)
+    return (u16[:, 0] << 16) | u16[:, 1]
 
 
 def _pack_int8_quarters(vt, ch, scale):
-    """[B, 4ch, HWp] f32-ish -> [B, ch, HWp] uint32: per corner block,
-    channel quarters (k, k+ch/4, k+ch/2, k+3ch/4) quantized to int8 with
-    the per-B `scale` and packed msb-first — the reference's int8 MSDA
-    value payload (TensorRT/plugin/.../multiScaleDeformableAttnKernel.cu
-    int8 path), with a dynamic per-(cam, head) scale instead of a
-    calibrated per-tensor one.  Dequant is folded into the kernel's m4
-    weights (out = scale * sum m * q), so the kernel needs no epilogue."""
-    B, CHT, HWp = vt.shape
+    """[B, ch, keys] f32-ish -> [B, ch/4, keys] uint32: channel quarters
+    (k, k+ch/4, k+ch/2, k+3ch/4) quantized to int8 with the per-B `scale`
+    and packed msb-first — the reference's int8 MSDA value payload
+    (TensorRT/plugin/.../multiScaleDeformableAttnKernel.cu int8 path),
+    with a dynamic per-(cam, head) scale instead of a calibrated
+    per-tensor one.  Dequant is folded into the kernel's m4 weights
+    (out = scale * sum m * q), so the kernel needs no epilogue."""
+    B, _, keys = vt.shape
     q = jnp.clip(
         jnp.round(vt.astype(jnp.float32) / scale[:, None, None]), -127, 127
     ).astype(jnp.int32)
-    u8 = (q & 0xFF).astype(jnp.uint32).reshape(B, 4, 4, ch // 4, HWp)
-    packed = (
-        (u8[:, :, 0] << 24) | (u8[:, :, 1] << 16) | (u8[:, :, 2] << 8) | u8[:, :, 3]
-    )
-    return packed.reshape(B, ch, HWp)
+    u8 = (q & 0xFF).astype(jnp.uint32).reshape(B, 4, ch // 4, keys)
+    return (u8[:, 0] << 24) | (u8[:, 1] << 16) | (u8[:, 2] << 8) | u8[:, 3]
 
 
 def _pack_tables_from_vt(vt, spatial_shapes, packed):
     """vt [B, ch, keys] (keys-minor, levels concatenated) -> (table
-    [B, CHT, HWp], level_base panels, scale [B] or None): corner packing
-    via minor-axis rolls and u32 packing (bf16 half-pairs, or int8
-    quarters with a dynamic per-B scale when packed == 'int8').  Shared by
-    MSDA and the Pallas DCNv2 path."""
+    [B, CHT, HWp], level_base panels, scale [B] or None): u32 packing
+    (bf16 half-pairs, or int8 quarters with a dynamic per-B scale when
+    packed == 'int8') FIRST, then corner packing via minor-axis rolls of
+    the packed words.  Pack-before-roll runs the pack at 1x data and the
+    4-corner materialization on the narrow u32 words — the roll-first
+    order cost ~3x the HBM traffic per cross layer (profiler trace: 764 MB
+    kLoop intermediates).  Shared by MSDA and the Pallas DCNv2 path."""
     B, ch, num_keys = vt.shape
+    scale = None
+    if packed == "int8":
+        amax = jnp.max(jnp.abs(vt.astype(jnp.float32)), axis=(1, 2))
+        scale = jnp.maximum(amax, 1e-12) / 127.0
+        w = _pack_int8_quarters(vt, ch, scale)  # [B, ch/4, keys]
+    elif packed:
+        w = _pack_bf16_halves(vt, ch)  # [B, ch/2, keys]
+    else:
+        w = vt.astype(jnp.float32)
     starts = [0]
-    for h, w in spatial_shapes:
-        starts.append(starts[-1] + h * w)
+    for h, wd in spatial_shapes:
+        starts.append(starts[-1] + h * wd)
     tables = []
     level_base = []
     panels = 0
     for lvl, (H, W) in enumerate(spatial_shapes):
-        v = vt[:, :, starts[lvl] : starts[lvl + 1]]
+        v = w[:, :, starts[lvl] : starts[lvl + 1]]
         v4 = jnp.concatenate(
             [
                 v,
@@ -368,24 +377,14 @@ def _pack_tables_from_vt(vt, spatial_shapes, packed):
                 jnp.roll(v, -(W + 1), axis=2),
             ],
             axis=1,
-        )  # [B, 4ch, HW]
+        )  # [B, 4*ch/sub, HW]
         hw_pad = (-(H * W)) % 128
         if hw_pad:
             v4 = jnp.pad(v4, ((0, 0), (0, 0), (0, hw_pad)))
         tables.append(v4)
         level_base.append(panels)
         panels += (H * W + hw_pad) // 128
-    table = jnp.concatenate(tables, axis=-1)
-    scale = None
-    if packed == "int8":
-        amax = jnp.max(jnp.abs(vt.astype(jnp.float32)), axis=(1, 2))
-        scale = jnp.maximum(amax, 1e-12) / 127.0
-        table = _pack_int8_quarters(table, ch, scale)
-    elif packed:
-        table = _pack_bf16_halves(table, ch)
-    else:
-        table = table.astype(jnp.float32)
-    return table, level_base, scale
+    return jnp.concatenate(tables, axis=-1), level_base, scale
 
 
 def _build_tables(value, spatial_shapes, packed):

@@ -221,3 +221,22 @@ def test_dcn_pallas_matches_xla(rng, stride, cin):
     )
     b = _dcn_xla(x, offset, mask, weight, stride, 1, 1, 1, 1)
     assert _mad(a, np.asarray(b)) < 1e-5
+
+
+def test_dcn_pallas_int8_close(rng):
+    """int8-packed DCN tables (quant='int8' backbone path): per-(image,
+    channel-group) dynamic scales keep the error ~1% of signal."""
+    from bevformer_tensorrt_tpu.ops.dcn import _dcn_pallas, _dcn_xla
+
+    N, Cin, H, W = 2, 64, 9, 11
+    Cout = 8
+    x = rng.standard_normal((N, Cin, H, W)).astype(np.float32)
+    offset = (rng.standard_normal((N, 18, H, W)) * 1.5).astype(np.float32)
+    mask = rng.random((N, 9, H, W)).astype(np.float32)
+    weight = (rng.standard_normal((Cout, Cin, 3, 3)) * 0.1).astype(np.float32)
+    a = np.asarray(
+        _dcn_pallas(x, offset, mask, weight, 1, 1, 1, packed="int8", interpret=True)
+    )
+    b = np.asarray(_dcn_xla(x, offset, mask, weight, 1, 1, 1, 1, 1))
+    rel = np.abs(a - b).mean() / (np.abs(b).mean() + 1e-9)
+    assert rel < 0.03, rel

@@ -204,3 +204,21 @@ class TestQDenseQMinor:
         np.testing.assert_allclose(
             np.asarray(yt.transpose(0, 2, 1)), np.asarray(y), rtol=1e-5, atol=1e-5
         )
+
+
+def test_int8_without_scales_raises(rng):
+    """quant='int8' with no calibrated scales must fail loudly at trace
+    time (not silently run fake-quant/fp) — init and calibration passes
+    stay allowed."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from bevformer_tensorrt_tpu.models.layers import QDense
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 16)), jnp.float32)
+    m = QDense(4, quant="int8")
+    variables = m.init(jax.random.PRNGKey(0), x)  # init: allowed
+    _, _ = m.apply(variables, x, mutable=["amax_stats"])  # calibration: allowed
+    with pytest.raises(ValueError, match="calibrated activation scales"):
+        m.apply(variables, x)
