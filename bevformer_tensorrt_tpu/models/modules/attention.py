@@ -34,23 +34,36 @@ import functools
 
 
 def msda_impl_is_sorted(name: str) -> bool:
-    return name == "sorted" or (name == "auto" and jax.default_backend() == "tpu")
+    return name in ("sorted", "sorted_f32") or (
+        name == "auto" and jax.default_backend() == "tpu"
+    )
+
+
+def msda_packing(name: str, quant=False):
+    """Table packing for the sorted kernel: int8-quad u32 words under
+    quant='int8', f32 tables for 'sorted_f32' (exactness tests), bf16-pair
+    u32 words otherwise (the production TPU path)."""
+    if name == "sorted_f32":
+        return False
+    return "int8" if quant == "int8" else True
 
 
 def resolve_msda_impl(name: str, quant=False):
     """Kernel-variant dispatch (the reference's TRT/TRTP/TRTP2 plugin-variant
     tier collapsed to one knob, configs/bevformer.py `msda_impl`):
-      'jnp'    — chunked XLA path (differentiable; CPU/GPU/TPU)
-      'sorted' — Pallas sorted-tap gather kernel (ops/pallas/msda_gather)
-      'auto'   — 'sorted' on TPU, 'jnp' elsewhere
+      'jnp'        — chunked XLA path (differentiable; CPU/GPU/TPU)
+      'sorted'     — Pallas sorted-tap gather kernel (ops/pallas/msda_gather)
+      'sorted_f32' — same kernel with f32 tables (fp32-exact wiring tests)
+      'auto'       — 'sorted' on TPU, 'jnp' elsewhere
     With quant == 'int8' the sorted kernel stores the value tables as
     int8-quad u32 words (the reference's int8 MSDA plugin tier,
     TensorRT/plugin/multi_scale_deformable_attn int8 path) — quarter the
     VMEM and half the gather rows of the bf16-pair packing.
     """
     if msda_impl_is_sorted(name):
-        packed = "int8" if quant == "int8" else True
-        return functools.partial(multi_scale_deformable_attn_sorted, packed=packed)
+        return functools.partial(
+            multi_scale_deformable_attn_sorted, packed=msda_packing(name, quant)
+        )
     return multi_scale_deformable_attn
 
 
@@ -97,7 +110,7 @@ class TemporalSelfAttention(nn.Module):
             # q-minor dataflow (see MSDeformableAttention3D): value and qcat
             # transposed once; projections emit query-minor for free; the
             # sorted op's internal relayouts disappear.
-            packed = "int8" if self.quant == "int8" else True
+            packed = msda_packing(self.msda_impl, self.quant)
             value_T = value.transpose(0, 2, 1)  # [Q, C, nq]
             v_t = QDense(C, quant=self.quant, name="value_proj")(
                 value_T, q_minor=True
@@ -206,7 +219,7 @@ class MSDeformableAttention3D(nn.Module):
                 # query-minor directly (the transpose folds into the matmul),
                 # so none of the q-major path's large gathers/relayouts
                 # (off[topi], attn[topi], prep transposes) materialize.
-                packed = "int8" if self.quant == "int8" else True
+                packed = msda_packing(self.msda_impl, self.quant)
                 v_t = QDense(C, quant=self.quant, name="value_proj")(
                     value_t, q_minor=True
                 )  # [cams, C, keys]

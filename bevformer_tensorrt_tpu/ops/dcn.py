@@ -111,6 +111,7 @@ def _dcn_pallas(
     from .msda import _pack_tables_from_vt, bilinear_slot_terms_pixels
     from .pallas.msda_gather import msda_gather_sorted
 
+    interpret = interpret or jax.default_backend() != "tpu"
     N, Cin, H, W = x.shape
     Cout, _, kh, kw = weight.shape
     rows = kh * kw

@@ -605,6 +605,11 @@ def _sorted_core(
 ):
     from .pallas.msda_gather import msda_gather_sorted
 
+    # Pallas has no compiled CPU lowering — fall back to interpret mode off
+    # TPU so models configured with msda_impl='sorted' stay runnable (and
+    # CPU-testable) everywhere.
+    interpret = interpret or jax.default_backend() != "tpu"
+
     bs = offT.shape[0]
     ch = vt.shape[1]
     L = len(spatial_shapes)

@@ -114,3 +114,24 @@ def test_cam_budget_compaction_exact(rng):
     full = run(1.0)
     compact = run(0.5)  # K = 128 >= max visible (~77 + margin)
     np.testing.assert_allclose(compact, full, rtol=1e-4, atol=1e-5)
+
+
+def test_msda_impl_sorted_matches_jnp(model_and_params):
+    """In-model check of the TPU production path (msda_impl='sorted':
+    Pallas sorted-tap kernel via interpret off-TPU, q-minor QDense
+    projections) against the XLA path — covers the temporal + cross
+    q-minor wiring end to end, which no op-level test reaches.
+    'sorted_f32' keeps f32 tables so any disagreement is a WIRING bug,
+    not value-quantization noise (bf16/int8 table accuracy is bounded by
+    the op-level tolerance tests in test_pallas.py).  Parameters are
+    orientation-independent, so the same variables serve both models."""
+    import dataclasses
+
+    cfg, model, variables = model_and_params
+    rng = np.random.default_rng(5)
+    image, prev_bev, can_bus, lidar2img = make_inputs(cfg, rng)
+    model_s = BEVFormer(dataclasses.replace(cfg, msda_impl="sorted_f32"))
+    out_j = model.apply(variables, image, prev_bev, jnp.float32(1.0), can_bus, lidar2img)
+    out_s = model_s.apply(variables, image, prev_bev, jnp.float32(1.0), can_bus, lidar2img)
+    for a, b in zip(out_j, out_s):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-4)

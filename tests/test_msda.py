@@ -130,3 +130,18 @@ def test_msda_boundary_taps_exact(rng):
     a = multi_scale_deformable_attn(value, ref, off, weights, spatial_shapes)
     b = multi_scale_deformable_attn_reference(value, ref, off, weights, spatial_shapes)
     assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-5
+
+
+def test_msda_default_chunk_at_scale(rng):
+    """Default q_chunk (2048) with num_q above it — the base-scale code path
+    (num_q = 5000 > 2048 forces padding + the lax.map chunk loop at the
+    production chunk size, which the toy q_chunk=16 test never reaches)."""
+    spatial_shapes = ((29, 50), (15, 25))
+    num_keys = sum(h * w for h, w in spatial_shapes)
+    value = rng.standard_normal((1, num_keys, 4, 16)).astype(np.float32)
+    ref = rng.uniform(0.05, 0.95, (1, 5000, 1, 2)).astype(np.float32)
+    off = (rng.standard_normal((1, 5000, 4, 2 * 4 * 2)) * 2).astype(np.float32)
+    weights = rng.standard_normal((1, 5000, 4, 2 * 4)).astype(np.float32)
+    a = multi_scale_deformable_attn(value, ref, off, weights, spatial_shapes)
+    b = torch_msda_oracle(value, spatial_shapes, ref, off, weights)
+    assert np.abs(np.asarray(a, np.float64) - b).mean() < 1e-5
