@@ -171,6 +171,7 @@ def _dcn_pallas(
         table, lane, m4.astype(jnp.bfloat16 if packed else f32), pmin, pspan,
         rows=rows, ch=ch_group, corners=4, packed=packed, interpret=interpret,
         row_group=rg, emit_rows=True, tap_share=G, out_dtype=mm_dtype,
+        q_blocks=min(4, QB),  # emit_rows output blocks are rows*ch wide
     )  # [B, rows*chg, QB*128]
     im = im.reshape(N, G, rows, ch_group, QB * 128)
     if scale is not None:

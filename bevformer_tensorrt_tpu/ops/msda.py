@@ -493,6 +493,14 @@ def _prep_taps_qminor(
     pg = panel.reshape(B, QB, rows // row_group, row_group * 128)
     pmin = pg.min(-1).astype(jnp.int32)
     pspan = (pg.max(-1).astype(jnp.int32) - pmin + 1)
+    # dead-group skip: a row group whose every corner weight is zero (all
+    # taps outside the image — e.g. a whole z-anchor projecting above the
+    # camera for this 128-query block) contributes exactly 0, but its
+    # border-clamped keys would still sweep 1-2 panels.  span=0 makes the
+    # kernel's fori_loop skip the group entirely.  m4 >= 0 always (bilinear
+    # slots x softmax weights), so max==0 detects dead exactly.
+    galive = m4.reshape(B, QB, rows // row_group, -1).max(-1) > 0
+    pspan = jnp.where(galive, pspan, 0)
     lane = (key - jnp.repeat(pmin, row_group, axis=2)[..., None] * 128).astype(
         jnp.int32
     )
@@ -668,11 +676,16 @@ def _sorted_core(
         # table path keeps f32 m4 (fp32-exactness contract for tests).
         m4 = m4.astype(jnp.bfloat16)
 
+    # query blocks per program: amortizes the ~1.2 us program fixed cost
+    # over 8 blocks — dead blocks (compaction tail, off-range split passes)
+    # become one pl.when branch instead of one program each
+    qbb = min(8, QB)
+
     if n_splits == 1:
         out = msda_gather_sorted(
             table, lane, m4, pmin, pspan,
             rows=rows, ch=ch, corners=4, packed=packed, interpret=interpret,
-            row_group=rg, alive=alive,
+            row_group=rg, alive=alive, q_blocks=qbb,
         )  # [B, ch, QB*128] f32 (channels already in order — half pairing)
     else:
         per = -(-panels_total // n_splits)
@@ -692,6 +705,7 @@ def _sorted_core(
                 table[:, :, h0 * 128 : h1 * 128], lane_h, m4, lo - h0, span_h,
                 rows=rows, ch=ch, corners=4, packed=packed,
                 interpret=interpret, row_group=rg, alive=alive_h,
+                q_blocks=qbb,
             )
             out = part if out is None else out + part
     out = out.reshape(bs, num_heads, ch, QB * 128).transpose(0, 3, 1, 2)

@@ -45,13 +45,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(
     pmin_ref, pspan_ref, alive_ref, lane_ref, m4_ref, vt_ref3, o_ref,
-    *, rows, ch, corners, packed, row_group, emit_rows=False,
+    *, rows, ch, corners, packed, row_group, emit_rows=False, q_blocks=1,
 ):
-    """One grid step = one query block (128 queries) of one (cam*head) table.
+    """One grid step = `q_blocks` query blocks (128 queries each) of one
+    (cam*head) table.
 
-    pmin/pspan [1, QB, rows//row_group] i32 (SMEM); lane [1, 1, rows, 128]
-    i32; m4 [1, 1, rows, corners, 128] f32; vt [1, CHT, HWp] (u32 pairs or
-    f32); o [1, ch, 128] f32.
+    pmin/pspan [1, QB, rows//row_group] i32 (SMEM); lane [1, QBB, rows, 128]
+    i32; m4 [1, QBB, rows, corners, 128] f32; vt [1, CHT, HWp] (u32 pairs or
+    f32); o [1, ch, QBB*128] f32.
+
+    `q_blocks` amortizes the per-program fixed cost (grid step + tiny
+    block DMAs + output store, ~1.2 us measured at temporal shapes): dead
+    blocks — ~45% of cross-attention blocks after compaction, and almost
+    every block of a key-range split's off-range pass — collapse from one
+    full program each to one pl.when branch inside a live program.
 
     `row_group` rows (points of one level, whose sampling windows overlap
     because they share a reference point) are swept TOGETHER over the union
@@ -64,34 +71,34 @@ def _kernel(
     ANY-space + persistent-scratch pattern; the corner-group split in the
     caller covers the overflow cases instead.)
     """
-    qb = pl.program_id(1)
+    qq = pl.program_id(1)
 
     int8 = packed == "int8"
     sub = 4 if int8 else (2 if packed else 1)  # channels per table word
     Hs = ch // sub
-    nrows = corners * Hs
-    RG = row_group
 
-    # whole-block skip: camera compaction sorts invisible queries to the
-    # tail, so ~45% of cross-attention blocks carry only zero-weight taps
-    # (tools/geometry_analysis.py: max real visibility 25% vs 35% budget).
-    # Their correct output is exactly 0 — write it and do nothing else.
-    @pl.when(alive_ref[0, qb, 0] == 0)
-    def _dead():
-        o_ref[...] = jnp.zeros_like(o_ref)
+    for j in range(q_blocks):
+        qb = qq * q_blocks + j
 
-    @pl.when(alive_ref[0, qb, 0] != 0)
-    def _live():
-        hs = [jnp.zeros((Hs, 128), jnp.float32) for _ in range(sub)]
-        _blend(
-            qb, pmin_ref, pspan_ref, lane_ref, m4_ref, vt_ref3, o_ref, hs,
-            rows=rows, ch=ch, corners=corners, packed=packed,
-            row_group=row_group, emit_rows=emit_rows,
-        )
+        # whole-block skip: write zeros, sweep nothing.
+        @pl.when(alive_ref[0, qb, 0] == 0)
+        def _dead(j=j):
+            o_ref[0, :, j * 128 : (j + 1) * 128] = jnp.zeros(
+                (o_ref.shape[1], 128), o_ref.dtype
+            )
+
+        @pl.when(alive_ref[0, qb, 0] != 0)
+        def _live(j=j, qb=qb):
+            hs = [jnp.zeros((Hs, 128), jnp.float32) for _ in range(sub)]
+            _blend(
+                qb, j, pmin_ref, pspan_ref, lane_ref, m4_ref, vt_ref3, o_ref,
+                hs, rows=rows, ch=ch, corners=corners, packed=packed,
+                row_group=row_group, emit_rows=emit_rows,
+            )
 
 
 def _blend(
-    qb, pmin_ref, pspan_ref, lane_ref, m4_ref, vt_ref3, o_ref, hs,
+    qb, j, pmin_ref, pspan_ref, lane_ref, m4_ref, vt_ref3, o_ref, hs,
     *, rows, ch, corners, packed, row_group, emit_rows,
 ):
     int8 = packed == "int8"
@@ -103,7 +110,7 @@ def _blend(
     for g in range(rows // RG):
         base = pmin_ref[0, qb, g]
         span = pspan_ref[0, qb, g]
-        lane_g = lane_ref[0, 0, g * RG : (g + 1) * RG, :]  # [RG, 128]
+        lane_g = lane_ref[0, j, g * RG : (g + 1) * RG, :]  # [RG, 128]
         # a lane's in-panel index is lane & 127 for the panel it belongs to
         # (and don't-care elsewhere — the select masks it), so the per-visit
         # work is one compare + one gather + one select; the subtract/clip/
@@ -146,30 +153,30 @@ def _blend(
         for p in range(RG):
             # m4 arrives bf16 on the packed paths (halves the largest prep
             # tensor's HBM traffic + VMEM block); blend math stays f32.
-            m = m4_ref[0, 0, g * RG + p].astype(jnp.float32)  # [corners, 128]
+            m = m4_ref[0, j, g * RG + p].astype(jnp.float32)  # [corners, 128]
             if emit_rows:
                 hs = [jnp.zeros((Hs, 128), jnp.float32) for _ in range(sub)]
             for x in range(corners):
                 r0 = p * nrows + x * Hs
-                for j in range(sub):
-                    hs[j] = hs[j] + planes[j][r0 : r0 + Hs] * m[x : x + 1]
+                for s in range(sub):
+                    hs[s] = hs[s] + planes[s][r0 : r0 + Hs] * m[x : x + 1]
             if emit_rows:
                 r = (g * RG + p) * ch
-                for j in range(sub):
-                    o_ref[0, r + j * Hs : r + (j + 1) * Hs, :] = hs[j].astype(
-                        o_ref.dtype
-                    )
+                for s in range(sub):
+                    o_ref[
+                        0, r + s * Hs : r + (s + 1) * Hs, j * 128 : (j + 1) * 128
+                    ] = hs[s].astype(o_ref.dtype)
 
     if not emit_rows:
-        for j in range(sub):
-            o_ref[0, j * Hs : (j + 1) * Hs, :] = hs[j]
+        for s in range(sub):
+            o_ref[0, s * Hs : (s + 1) * Hs, j * 128 : (j + 1) * 128] = hs[s]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "rows", "ch", "corners", "packed", "interpret", "row_group",
-        "emit_rows", "tap_share", "out_dtype",
+        "emit_rows", "tap_share", "out_dtype", "q_blocks",
     ),
 )
 def msda_gather_sorted(
@@ -188,6 +195,7 @@ def msda_gather_sorted(
     tap_share: int = 1,
     out_dtype=jnp.float32,
     alive: jax.Array | None = None,  # [Bt, QB] i32; 0 = all-zero block (skip)
+    q_blocks: int = 1,  # query blocks per program (amortizes program cost)
 ) -> jax.Array:
     """Returns [B, ch, QB*128] f32.
 
@@ -224,39 +232,52 @@ def msda_gather_sorted(
     if alive is None:
         alive = jnp.ones((Bt, QB), jnp.int32)
     assert alive.shape == (Bt, QB)
-    alive3 = alive.astype(jnp.int32).reshape(Bt, QB, 1)
 
-    return pl.pallas_call(
+    QBB = max(1, min(q_blocks, QB))
+    qb_pad = (-QB) % QBB
+    if qb_pad:
+        # pad to a whole number of programs with dead blocks (alive=0 writes
+        # zeros; pspan never read); output tail sliced off below
+        lane = jnp.pad(lane, ((0, 0), (0, qb_pad), (0, 0), (0, 0)))
+        m4 = jnp.pad(m4, ((0, 0), (0, qb_pad)) + ((0, 0),) * (m4.ndim - 2))
+        pmin = jnp.pad(pmin, ((0, 0), (0, qb_pad), (0, 0)))
+        pspan = jnp.pad(pspan, ((0, 0), (0, qb_pad), (0, 0)))
+        alive = jnp.pad(alive, ((0, 0), (0, qb_pad)))
+    QBp = QB + qb_pad
+    alive3 = alive.astype(jnp.int32).reshape(Bt, QBp, 1)
+
+    out = pl.pallas_call(
         functools.partial(
             _kernel, rows=rows, ch=ch, corners=corners, packed=packed,
-            row_group=row_group, emit_rows=emit_rows,
+            row_group=row_group, emit_rows=emit_rows, q_blocks=QBB,
         ),
-        grid=(B, QB),
+        grid=(B, QBp // QBB),
         in_specs=[
             pl.BlockSpec(
-                (1, QB, ng), lambda b, q: (b // G, 0, 0), memory_space=pltpu.SMEM
+                (1, QBp, ng), lambda b, q: (b // G, 0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
-                (1, QB, ng), lambda b, q: (b // G, 0, 0), memory_space=pltpu.SMEM
+                (1, QBp, ng), lambda b, q: (b // G, 0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
-                (1, QB, 1), lambda b, q: (b // G, 0, 0), memory_space=pltpu.SMEM
+                (1, QBp, 1), lambda b, q: (b // G, 0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
-                (1, 1, rows, 128),
+                (1, QBB, rows, 128),
                 lambda b, q: (b // G, q, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, rows, corners, 128),
+                (1, QBB, rows, corners, 128),
                 lambda b, q: (b // G, q, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((1, CHT, HWp), lambda b, q: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, out_ch, 128), lambda b, q: (b, 0, q), memory_space=pltpu.VMEM
+            (1, out_ch, QBB * 128), lambda b, q: (b, 0, q), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((B, out_ch, QB * 128), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((B, out_ch, QBp * 128), out_dtype),
         interpret=interpret,
     )(pmin, pspan, alive3, lane, m4, table)
+    return out[:, :, : QB * 128] if qb_pad else out

@@ -135,6 +135,29 @@ class TestMSDASorted:
         )
         np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
 
+    def test_q_block_padding(self, rng):
+        """QB not a multiple of q_blocks: the wrapper pads with dead blocks
+        (nq=1200 -> QB=10, q_blocks=8 -> 2 programs of 8 with 6 padded) and
+        slices the tail — must still match the reference exactly."""
+        from bevformer_tensorrt_tpu.ops import (
+            multi_scale_deformable_attn_reference,
+            multi_scale_deformable_attn_sorted,
+        )
+
+        shapes = ((12, 20), (6, 10))
+        value, ref, off, attn = self._rand_case(
+            rng, 1, 1200, 2, 8, shapes, P=4, ppg=1
+        )
+        got = np.asarray(
+            multi_scale_deformable_attn_sorted(
+                value, ref, off, attn, shapes, packed=False, interpret=True
+            )
+        )
+        want = np.asarray(
+            multi_scale_deformable_attn_reference(value, ref, off, attn, shapes)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
     @pytest.mark.parametrize("groups", [2, 3])
     def test_key_group_split(self, rng, groups):
         """VMEM-overflow fallback: splitting the table into key (panel)
