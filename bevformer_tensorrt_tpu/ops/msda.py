@@ -24,6 +24,7 @@ golden tests (the reference's P5-as-oracle pattern, SURVEY.md §4).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Sequence, Tuple
 
 import jax
@@ -342,15 +343,19 @@ def _pack_int8_quarters(vt, ch, scale):
     return (u8[:, 0] << 24) | (u8[:, 1] << 16) | (u8[:, 2] << 8) | u8[:, 3]
 
 
-def _pack_tables_from_vt(vt, spatial_shapes, packed):
+def _pack_tables_from_vt(vt, spatial_shapes, packed, planes=4):
     """vt [B, ch, keys] (keys-minor, levels concatenated) -> (table
     [B, CHT, HWp], level_base panels, scale [B] or None): u32 packing
     (bf16 half-pairs, or int8 quarters with a dynamic per-B scale when
     packed == 'int8') FIRST, then corner packing via minor-axis rolls of
     the packed words.  Pack-before-roll runs the pack at 1x data and the
-    4-corner materialization on the narrow u32 words — the roll-first
+    corner materialization on the narrow u32 words — the roll-first
     order cost ~3x the HBM traffic per cross layer (profiler trace: 764 MB
-    kLoop intermediates).  Shared by MSDA and the Pallas DCNv2 path."""
+    kLoop intermediates).  Shared by MSDA and the Pallas DCNv2 path.
+
+    planes=4 stores all bilinear corners (k, k+1, k+W, k+W+1); planes=2
+    stores (k, k+W) only — half the table — for the kernel's two_plane
+    mode, which gathers the +1 corners via a second lane variant."""
     B, ch, num_keys = vt.shape
     scale = None
     if packed == "int8":
@@ -369,15 +374,10 @@ def _pack_tables_from_vt(vt, spatial_shapes, packed):
     panels = 0
     for lvl, (H, W) in enumerate(spatial_shapes):
         v = w[:, :, starts[lvl] : starts[lvl + 1]]
+        rolls = (0, -W) if planes == 2 else (0, -1, -W, -(W + 1))
         v4 = jnp.concatenate(
-            [
-                v,
-                jnp.roll(v, -1, axis=2),
-                jnp.roll(v, -W, axis=2),
-                jnp.roll(v, -(W + 1), axis=2),
-            ],
-            axis=1,
-        )  # [B, 4*ch/sub, HW]
+            [v if r == 0 else jnp.roll(v, r, axis=2) for r in rolls], axis=1
+        )  # [B, planes*ch/sub, HW]
         hw_pad = (-(H * W)) % 128
         if hw_pad:
             v4 = jnp.pad(v4, ((0, 0), (0, 0), (0, hw_pad)))
@@ -427,6 +427,7 @@ def _prep_taps(
 
 def _prep_taps_qminor(
     refT, offT, attnT, spatial_shapes, num_heads, level_base, row_group=1,
+    two_plane=False,
 ):
     """Tap rows for the sorted kernel, query-MINOR layout throughout.
 
@@ -437,7 +438,12 @@ def _prep_taps_qminor(
     `row_group` consecutive rows (points of one level) share one panel
     sweep in the kernel, so pmin/pspan are the UNION over each group.
 
-    Returns lane [B, QB, rows, 128] i32, m4 [B, QB, rows, 4, 128] f32,
+    two_plane=True: lane gains a variant axis [.., rows, 2, 128] carrying
+    (key, key+1) for the kernel's half-size (k, k+W)-plane tables; spans
+    union both variants (+1 panel only when a group's max key sits on a
+    panel edge — ~1/128 of groups).
+
+    Returns lane [B, QB, rows, (2,) 128] i32, m4 [B, QB, rows, 4, 128] f32,
     pmin/pspan [B, QB, rows//row_group] i32.
     """
     bs, num_heads_, L = offT.shape[:3]
@@ -489,8 +495,18 @@ def _prep_taps_qminor(
     key = key.reshape(B, rows, QB, 128).transpose(0, 2, 1, 3)
     m4 = m4.reshape(B, rows, 4, QB, 128).transpose(0, 3, 1, 2, 4)
 
+    if two_plane:
+        # second lane variant: key+1 (the +1 corners), clamped into the
+        # padded table — clamped taps always carry zero corner weight
+        total_keys = (level_base[-1] * 128) + (
+            -(-spatial_shapes[-1][0] * spatial_shapes[-1][1] // 128) * 128
+        )
+        key = jnp.stack(
+            [key, jnp.minimum(key + 1, total_keys - 1)], axis=3
+        )  # [B, QB, rows, 2, 128]
+
     panel = key // 128
-    pg = panel.reshape(B, QB, rows // row_group, row_group * 128)
+    pg = panel.reshape(B, QB, rows // row_group, -1)
     pmin = pg.min(-1).astype(jnp.int32)
     pspan = (pg.max(-1).astype(jnp.int32) - pmin + 1)
     # dead-group skip: a row group whose every corner weight is zero (all
@@ -501,9 +517,9 @@ def _prep_taps_qminor(
     # slots x softmax weights), so max==0 detects dead exactly.
     galive = m4.reshape(B, QB, rows // row_group, -1).max(-1) > 0
     pspan = jnp.where(galive, pspan, 0)
-    lane = (key - jnp.repeat(pmin, row_group, axis=2)[..., None] * 128).astype(
-        jnp.int32
-    )
+    pm = jnp.repeat(pmin, row_group, axis=2)
+    pm = pm[..., None, None] if two_plane else pm[..., None]
+    lane = (key - pm * 128).astype(jnp.int32)
     return lane, m4.astype(jnp.float32), pmin, pspan
 
 
@@ -628,7 +644,15 @@ def _sorted_core(
     QB = (num_q + (-num_q) % 128) // 128
     sub = 4 if packed == "int8" else (2 if packed else 1)
 
-    table, level_base, scale = _pack_tables_from_vt(vt, spatial_shapes, packed)
+    # two-plane tables: half the VMEM per table block — usually the
+    # difference between one kernel call and a key-range split — at
+    # identical per-visit gather cost (see pallas/msda_gather two_plane).
+    # MSDA_TWO_PLANE=0 restores the 4-plane layout for A/B.
+    two_plane = os.environ.get("MSDA_TWO_PLANE", "1") == "1"
+
+    table, level_base, scale = _pack_tables_from_vt(
+        vt, spatial_shapes, packed, planes=2 if two_plane else 4
+    )
 
     # v5e VMEM is ~16 MB scoped and the table block is double-buffered
     # across the grid's (cam*head) axis: when one table block would exceed
@@ -658,7 +682,8 @@ def _sorted_core(
         rg = row_group
 
     lane, m4, pmin, pspan = _prep_taps_qminor(
-        refT, offT, attnT, spatial_shapes, num_heads, level_base, row_group=rg
+        refT, offT, attnT, spatial_shapes, num_heads, level_base, row_group=rg,
+        two_plane=two_plane,
     )
     # whole-block skip flags: a 128-query block whose every corner weight is
     # zero (the compaction's invisible tail) is written as zeros by the
@@ -685,7 +710,7 @@ def _sorted_core(
         out = msda_gather_sorted(
             table, lane, m4, pmin, pspan,
             rows=rows, ch=ch, corners=4, packed=packed, interpret=interpret,
-            row_group=rg, alive=alive, q_blocks=qbb,
+            row_group=rg, alive=alive, q_blocks=qbb, two_plane=two_plane,
         )  # [B, ch, QB*128] f32 (channels already in order — half pairing)
     else:
         per = -(-panels_total // n_splits)
@@ -699,13 +724,15 @@ def _sorted_core(
             # panel falls outside the clipped window never match a sweep
             # position (panel_id <0 or >span), so no m4 masking is needed.
             span_h = jnp.where((pmax < h0) | (pmin >= h1), 0, hi - lo + 1)
-            lane_h = lane + jnp.repeat(pmin - lo, rg, axis=2)[..., None] * 128
+            shift = jnp.repeat(pmin - lo, rg, axis=2)
+            shift = shift[..., None, None] if two_plane else shift[..., None]
+            lane_h = lane + shift * 128
             alive_h = alive * (span_h.max(axis=-1) > 0)
             part = msda_gather_sorted(
                 table[:, :, h0 * 128 : h1 * 128], lane_h, m4, lo - h0, span_h,
                 rows=rows, ch=ch, corners=4, packed=packed,
                 interpret=interpret, row_group=rg, alive=alive_h,
-                q_blocks=qbb,
+                q_blocks=qbb, two_plane=two_plane,
             )
             out = part if out is None else out + part
     out = out.reshape(bs, num_heads, ch, QB * 128).transpose(0, 3, 1, 2)

@@ -46,6 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 def _kernel(
     pmin_ref, pspan_ref, alive_ref, lane_ref, m4_ref, vt_ref3, o_ref,
     *, rows, ch, corners, packed, row_group, emit_rows=False, q_blocks=1,
+    two_plane=False,
 ):
     """One grid step = `q_blocks` query blocks (128 queries each) of one
     (cam*head) table.
@@ -93,39 +94,49 @@ def _kernel(
             _blend(
                 qb, j, pmin_ref, pspan_ref, lane_ref, m4_ref, vt_ref3, o_ref,
                 hs, rows=rows, ch=ch, corners=corners, packed=packed,
-                row_group=row_group, emit_rows=emit_rows,
+                row_group=row_group, emit_rows=emit_rows, two_plane=two_plane,
             )
 
 
 def _blend(
     qb, j, pmin_ref, pspan_ref, lane_ref, m4_ref, vt_ref3, o_ref, hs,
-    *, rows, ch, corners, packed, row_group, emit_rows,
+    *, rows, ch, corners, packed, row_group, emit_rows, two_plane=False,
 ):
     int8 = packed == "int8"
     sub = 4 if int8 else (2 if packed else 1)
     Hs = ch // sub
-    nrows = corners * Hs
+    # two_plane: the table stores only corner planes (k, k+W) — half the
+    # VMEM — and each tap carries TWO lanes (key, key+1); both variants are
+    # folded into ONE gather of the same total sublanes as the 4-plane
+    # layout, so the per-visit cost is unchanged.  Row layout of the
+    # gathered block: (p, variant a/b, plane, Hs) vs 4-plane (p, corner, Hs).
+    SP = 2 if two_plane else corners      # stored planes in the table
+    LV = 2 if two_plane else 1            # lane variants per tap
+    nrows = LV * SP * Hs                  # gathered sublanes per tap row
     RG = row_group
 
     for g in range(rows // RG):
         base = pmin_ref[0, qb, g]
         span = pspan_ref[0, qb, g]
-        lane_g = lane_ref[0, j, g * RG : (g + 1) * RG, :]  # [RG, 128]
+        if two_plane:
+            lane_g = lane_ref[0, j, g * RG : (g + 1) * RG, :, :]  # [RG, 2, 128]
+        else:
+            lane_g = lane_ref[0, j, g * RG : (g + 1) * RG, :].reshape(RG, 1, 128)
         # a lane's in-panel index is lane & 127 for the panel it belongs to
         # (and don't-care elsewhere — the select masks it), so the per-visit
         # work is one compare + one gather + one select; the subtract/clip/
         # divide of earlier variants are hoisted here, once per group.
         lane_mod = jnp.broadcast_to(
-            (lane_g & 127).reshape(RG, 1, 128), (RG, nrows, 128)
+            (lane_g & 127).reshape(RG, LV, 1, 128), (RG, LV, SP * Hs, 128)
         ).reshape(RG * nrows, 128)
         panel_id = jnp.broadcast_to(
-            (lane_g >> 7).reshape(RG, 1, 128), (RG, nrows, 128)
+            (lane_g >> 7).reshape(RG, LV, 1, 128), (RG, LV, SP * Hs, 128)
         ).reshape(RG * nrows, 128)
 
         def visit(s, acc):
             panel = vt_ref3[0, :, pl.ds(pl.multiple_of((base + s) * 128, 128), 128)]
             pb = jnp.broadcast_to(
-                panel.reshape(1, nrows, 128), (RG, nrows, 128)
+                panel.reshape(1, 1, SP * Hs, 128), (RG, LV, SP * Hs, 128)
             ).reshape(RG * nrows, 128)
             gat = jnp.take_along_axis(pb, lane_mod, axis=1)
             return jnp.where(panel_id == s, gat, acc)
@@ -157,7 +168,12 @@ def _blend(
             if emit_rows:
                 hs = [jnp.zeros((Hs, 128), jnp.float32) for _ in range(sub)]
             for x in range(corners):
-                r0 = p * nrows + x * Hs
+                if two_plane:
+                    # corners (k, k+1, k+W, k+W+1) = (a-plane0, b-plane0,
+                    # a-plane1, b-plane1)
+                    r0 = ((p * LV + (x & 1)) * SP + (x >> 1)) * Hs
+                else:
+                    r0 = (p * corners + x) * Hs
                 for s in range(sub):
                     hs[s] = hs[s] + planes[s][r0 : r0 + Hs] * m[x : x + 1]
             if emit_rows:
@@ -176,7 +192,7 @@ def _blend(
     jax.jit,
     static_argnames=(
         "rows", "ch", "corners", "packed", "interpret", "row_group",
-        "emit_rows", "tap_share", "out_dtype", "q_blocks",
+        "emit_rows", "tap_share", "out_dtype", "q_blocks", "two_plane",
     ),
 )
 def msda_gather_sorted(
@@ -196,8 +212,15 @@ def msda_gather_sorted(
     out_dtype=jnp.float32,
     alive: jax.Array | None = None,  # [Bt, QB] i32; 0 = all-zero block (skip)
     q_blocks: int = 1,  # query blocks per program (amortizes program cost)
+    two_plane: bool = False,  # table stores (k, k+W) only; lane has 2 variants
 ) -> jax.Array:
     """Returns [B, ch, QB*128] f32.
+
+    two_plane=True: the table stores corner planes (k, k+W) only (HALF the
+    VMEM — often the difference between one kernel call and a key-range
+    split) and `lane` carries both lane variants (key, key+1) as
+    [Bt, QB, rows, 2, 128]; the visit gathers both variants from the
+    2-plane panel in one take_along_axis of the same total sublanes.
 
     out[b, :, q] = sum over the block's rows r and corners x of
       m4[b, qb, r, x, q%128] * table_channels[x*ch + :, key].
@@ -223,10 +246,12 @@ def msda_gather_sorted(
     assert HWp % 128 == 0
     assert rows % row_group == 0
     assert B % tap_share == 0
-    assert lane.shape == (Bt, QB, rows, 128)
+    lane_shape = (Bt, QB, rows, 2, 128) if two_plane else (Bt, QB, rows, 128)
+    assert lane.shape == lane_shape, (lane.shape, lane_shape)
     assert pmin.shape == (Bt, QB, ng) and pspan.shape == (Bt, QB, ng)
     sub = 4 if packed == "int8" else (2 if packed else 1)
-    assert CHT == corners * ch // sub, (CHT, corners, ch, packed)
+    stored = 2 if two_plane else corners
+    assert CHT == stored * ch // sub, (CHT, corners, ch, packed, two_plane)
     G = tap_share
     out_ch = rows * ch if emit_rows else ch
     if alive is None:
@@ -238,7 +263,7 @@ def msda_gather_sorted(
     if qb_pad:
         # pad to a whole number of programs with dead blocks (alive=0 writes
         # zeros; pspan never read); output tail sliced off below
-        lane = jnp.pad(lane, ((0, 0), (0, qb_pad), (0, 0), (0, 0)))
+        lane = jnp.pad(lane, ((0, 0), (0, qb_pad)) + ((0, 0),) * (lane.ndim - 2))
         m4 = jnp.pad(m4, ((0, 0), (0, qb_pad)) + ((0, 0),) * (m4.ndim - 2))
         pmin = jnp.pad(pmin, ((0, 0), (0, qb_pad), (0, 0)))
         pspan = jnp.pad(pspan, ((0, 0), (0, qb_pad), (0, 0)))
@@ -246,10 +271,24 @@ def msda_gather_sorted(
     QBp = QB + qb_pad
     alive3 = alive.astype(jnp.int32).reshape(Bt, QBp, 1)
 
+    lane_spec = (
+        pl.BlockSpec(
+            (1, QBB, rows, 2, 128),
+            lambda b, q: (b // G, q, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        if two_plane
+        else pl.BlockSpec(
+            (1, QBB, rows, 128),
+            lambda b, q: (b // G, q, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    )
     out = pl.pallas_call(
         functools.partial(
             _kernel, rows=rows, ch=ch, corners=corners, packed=packed,
             row_group=row_group, emit_rows=emit_rows, q_blocks=QBB,
+            two_plane=two_plane,
         ),
         grid=(B, QBp // QBB),
         in_specs=[
@@ -262,11 +301,7 @@ def msda_gather_sorted(
             pl.BlockSpec(
                 (1, QBp, 1), lambda b, q: (b // G, 0, 0), memory_space=pltpu.SMEM
             ),
-            pl.BlockSpec(
-                (1, QBB, rows, 128),
-                lambda b, q: (b // G, q, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            lane_spec,
             pl.BlockSpec(
                 (1, QBB, rows, corners, 128),
                 lambda b, q: (b // G, q, 0, 0, 0),
