@@ -91,3 +91,71 @@ def points_in_rotated_boxes(points: jax.Array, boxes: jax.Array) -> jax.Array:
     in_xy = (jnp.abs(lx) <= b[..., 3] / 2) & (jnp.abs(ly) <= b[..., 4] / 2)
     in_z = jnp.abs(p[..., 2] - b[..., 2]) <= b[..., 5] / 2
     return in_xy & in_z
+
+
+@functools.partial(jax.jit, static_argnames=("out_size", "mode"))
+def roiaware_pool3d(
+    rois: jax.Array,          # [B, 7] (x, y, z bottom-center, dx, dy, dz, yaw)
+    points: jax.Array,        # [P, 3]
+    feats: jax.Array,         # [P, C]
+    out_size: Tuple[int, int, int] = (4, 4, 4),
+    mode: str = "max",
+) -> jax.Array:
+    """RoI-aware 3D pooling: voxelize each rotated roi into an out_size grid
+    and max/avg-pool the features of the points inside each cell.
+
+    TPU-native scatter formulation of the reference's per-voxel CUDA kernel
+    (third_party/bev_mmdet3d/ops/roiaware_pool3d/roiaware_pool3d.py:25-40,
+    src/roiaware_pool3d_kernel.cu): points are mapped to roi-local cells
+    with one rotation + floor, then a vmapped scatter-max (or sum/count)
+    over rois produces [B, nx, ny, nz, C].  Empty cells are 0, matching the
+    reference's zero-initialized output.  Static shapes; jit/vmap friendly.
+    """
+    nx, ny, nz = out_size
+    ncell = nx * ny * nz
+    B = rois.shape[0]
+    C = feats.shape[-1]
+    f32 = jnp.float32
+
+    d = points[None, :, :2] - rois[:, None, :2]       # [B, P, 2]
+    c = jnp.cos(-rois[:, None, 6])
+    s = jnp.sin(-rois[:, None, 6])
+    lx = d[..., 0] * c - d[..., 1] * s + rois[:, None, 3] / 2
+    ly = d[..., 0] * s + d[..., 1] * c + rois[:, None, 4] / 2
+    lz = points[None, :, 2] - rois[:, None, 2]        # bottom-center z
+    cell = jnp.stack(
+        [
+            jnp.floor(lx / rois[:, None, 3] * nx),
+            jnp.floor(ly / rois[:, None, 4] * ny),
+            jnp.floor(lz / rois[:, None, 5] * nz),
+        ],
+        axis=-1,
+    ).astype(jnp.int32)                               # [B, P, 3]
+    inside = (
+        (cell >= 0).all(-1)
+        & (cell[..., 0] < nx) & (cell[..., 1] < ny) & (cell[..., 2] < nz)
+        & jnp.isfinite(points).all(-1)[None]
+    )
+    idx = jnp.where(
+        inside, (cell[..., 0] * ny + cell[..., 1]) * nz + cell[..., 2], ncell
+    )  # out-of-box -> dropped slot
+
+    def pool_one(idx_b, inside_b):
+        if mode == "max":
+            out = jnp.full((ncell + 1, C), -jnp.inf, f32).at[idx_b].max(
+                jnp.where(inside_b[:, None], feats.astype(f32), -jnp.inf),
+                mode="drop",
+            )[:ncell]
+            # only EMPTY cells are zero-filled; occupied cells keep their
+            # true (possibly negative) max, as the reference kernel does
+            return jnp.where(jnp.isfinite(out), out, 0.0)
+        tot = jnp.zeros((ncell + 1, C), f32).at[idx_b].add(
+            jnp.where(inside_b[:, None], feats.astype(f32), 0.0), mode="drop"
+        )[:ncell]
+        cnt = jnp.zeros((ncell + 1,), f32).at[idx_b].add(
+            inside_b.astype(f32), mode="drop"
+        )[:ncell]
+        return tot / jnp.maximum(cnt, 1.0)[:, None]
+
+    out = jax.vmap(pool_one)(idx, inside)  # [B, ncell, C]
+    return out.reshape(B, nx, ny, nz, C).astype(feats.dtype)

@@ -66,3 +66,66 @@ class TestVoxel:
         boxes_r = jnp.asarray([[0.0, 0.0, 0.0, 4.0, 2.0, 2.0, np.pi / 2]])
         m = np.asarray(points_in_rotated_boxes(pts, boxes_r))[:, 0]
         assert m.tolist() == [True, False, True]
+
+
+class TestRoIAwarePool3d:
+    """roiaware_pool3d vs a brute-force numpy oracle (reference contract:
+    third_party/bev_mmdet3d/ops/roiaware_pool3d/roiaware_pool3d.py:25-40 —
+    rois [B,7] bottom-center z, out [B, nx, ny, nz, C], empty cells 0)."""
+
+    def _oracle(self, rois, pts, feats, out_size, mode):
+        nx, ny, nz = out_size
+        B, C = rois.shape[0], feats.shape[1]
+        out = np.zeros((B, nx, ny, nz, C), np.float32)
+        for b in range(B):
+            x, y, z, dx, dy, dz, yaw = rois[b]
+            d = pts[:, :2] - [x, y]
+            c, s = np.cos(-yaw), np.sin(-yaw)
+            lx = d[:, 0] * c - d[:, 1] * s + dx / 2
+            ly = d[:, 0] * s + d[:, 1] * c + dy / 2
+            lz = pts[:, 2] - z
+            ci = np.floor(
+                np.stack([lx / dx * nx, ly / dy * ny, lz / dz * nz], -1)
+            ).astype(int)
+            ok = (ci >= 0).all(-1) & (ci[:, 0] < nx) & (ci[:, 1] < ny) & (ci[:, 2] < nz)
+            for i in np.where(ok)[0]:
+                cx, cy, cz = ci[i]
+                cell = out[b, cx, cy, cz]
+                if mode == "max":
+                    sel = getattr(self, f"_seen_{b}_{cx}_{cy}_{cz}", False)
+                    out[b, cx, cy, cz] = feats[i] if not sel else np.maximum(cell, feats[i])
+                    setattr(self, f"_seen_{b}_{cx}_{cy}_{cz}", True)
+                else:
+                    out[b, cx, cy, cz] = cell + feats[i]
+            if mode == "avg":
+                cnt = np.zeros((nx, ny, nz), np.float32)
+                for i in np.where(ok)[0]:
+                    cnt[tuple(ci[i])] += 1
+                out[b] = out[b] / np.maximum(cnt, 1)[..., None]
+        return out
+
+    @pytest.mark.parametrize("mode", ["max", "avg"])
+    def test_matches_oracle(self, mode):
+        from bevformer_tensorrt_tpu.ops.voxel import roiaware_pool3d
+
+        rng = np.random.default_rng(0)
+        rois = np.stack(
+            [
+                rng.uniform(-5, 5, 3),
+                rng.uniform(2, 4, 3),
+                rng.uniform(-np.pi, np.pi, 3),
+            ],
+            axis=0,
+        ).T.reshape(3, 3)
+        rois = np.concatenate(
+            [rois[:, :1], rois[:, :1] * 0.5, rois[:, :1] * 0.1,
+             rng.uniform(2, 4, (3, 3)), rng.uniform(-np.pi, np.pi, (3, 1))],
+            axis=1,
+        ).astype(np.float32)  # [3, 7]
+        pts = rng.uniform(-6, 6, (500, 3)).astype(np.float32)
+        feats = rng.standard_normal((500, 8)).astype(np.float32)
+        got = np.asarray(
+            roiaware_pool3d(rois, pts, feats, out_size=(4, 3, 2), mode=mode)
+        )
+        want = self._oracle(rois, pts, feats, (4, 3, 2), mode)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
