@@ -105,10 +105,16 @@ class QDense(nn.Module):
             if self.quant == "int8" and s_in is not None:
                 # real int8 path: quantize with the calibrated scale
                 xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_in), -127, 127).astype(jnp.int8)
-                w_scale = jnp.max(jnp.abs(kernel), axis=0) / 127.0 + 1e-12
-                wq = jnp.clip(
-                    jnp.round(kernel / w_scale[None, :]), -127, 127
-                ).astype(jnp.int8)
+                if self.has_variable("quant", "wq"):
+                    # deploy: folded int8 weights (quant/fold.py) — no
+                    # per-forward re-quantization of the fp kernel
+                    wq = self.get_variable("quant", "wq")
+                    w_scale = self.get_variable("quant", "wscale")
+                else:
+                    w_scale = jnp.max(jnp.abs(kernel), axis=0) / 127.0 + 1e-12
+                    wq = jnp.clip(
+                        jnp.round(kernel / w_scale[None, :]), -127, 127
+                    ).astype(jnp.int8)
                 acc = mm(xq, wq, preferred_element_type=jnp.int32)
                 y = acc.astype(jnp.float32) * (
                     s_in * (w_scale[:, None] if q_minor else w_scale)
@@ -157,10 +163,14 @@ class QConv(nn.Module):
             if self.quant == "int8" and s_in is not None:
                 # real int8 conv: MXU int8 with int32 accumulate
                 xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_in), -127, 127).astype(jnp.int8)
-                w_scale = (
-                    jnp.max(jnp.abs(kernel), axis=(0, 1, 2)) / 127.0 + 1e-12
-                )
-                wq = jnp.clip(jnp.round(kernel / w_scale), -127, 127).astype(jnp.int8)
+                if self.has_variable("quant", "wq"):
+                    wq = self.get_variable("quant", "wq")
+                    w_scale = self.get_variable("quant", "wscale")
+                else:
+                    w_scale = (
+                        jnp.max(jnp.abs(kernel), axis=(0, 1, 2)) / 127.0 + 1e-12
+                    )
+                    wq = jnp.clip(jnp.round(kernel / w_scale), -127, 127).astype(jnp.int8)
                 acc = jax.lax.conv_general_dilated(
                     xq,
                     wq,

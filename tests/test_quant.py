@@ -222,3 +222,36 @@ def test_int8_without_scales_raises(rng):
     _, _ = m.apply(variables, x, mutable=["amax_stats"])  # calibration: allowed
     with pytest.raises(ValueError, match="calibrated activation scales"):
         m.apply(variables, x)
+
+
+def test_fold_int8_weights_matches_derived(rng):
+    """Folded int8 weights (deploy path) must reproduce the per-forward
+    derived quantization bit-exactly, for dense and conv."""
+    import jax
+    import jax.numpy as jnp
+    from flax import traverse_util
+
+    from bevformer_tensorrt_tpu.models.layers import QConv, QDense
+    from bevformer_tensorrt_tpu.quant.fold import fold_int8_weights
+
+    def calib(m, x):
+        variables = m.init(jax.random.PRNGKey(0), x)
+        _, mut = m.apply(variables, x, mutable=["amax_stats"])
+        flat = traverse_util.flatten_dict(
+            jax.tree.map(lambda a: jnp.maximum(a, 1e-6) / 127.0, mut["amax_stats"])
+        )
+        flat = {p[:-1] + ("scale",): v for p, v in flat.items()}
+        return {**variables, "quant": traverse_util.unflatten_dict(flat)}
+
+    x = jnp.asarray(rng.standard_normal((2, 24, 16)), jnp.float32)
+    m = QDense(8, quant="int8")
+    v = calib(m, x)
+    vf = fold_int8_weights(v)
+    assert vf["quant"]["wq"].dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(m.apply(vf, x)), np.asarray(m.apply(v, x)))
+
+    xc = jnp.asarray(rng.standard_normal((1, 8, 10, 6)), jnp.float32)
+    mc = QConv(4, (3, 3), quant="int8")
+    vc = calib(mc, xc)
+    vcf = fold_int8_weights(vc)
+    np.testing.assert_array_equal(np.asarray(mc.apply(vcf, xc)), np.asarray(mc.apply(vc, xc)))

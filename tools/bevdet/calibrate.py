@@ -77,6 +77,11 @@ def main():
     quant_vars, result = calibrate(
         apply_fn, variables, batches, method=args.method, percentile=args.percentile
     )
+    from bevformer_tensorrt_tpu.quant.fold import fold_int8_weights
+
+    # deploy artifact: fold per-channel int8 weights + scales next to
+    # the activation scales so quant='int8' never re-quantizes weights
+    quant_vars = fold_int8_weights(quant_vars)
     save_checkpoint(args.out, quant_vars)
     print(f"saved {len(result.scales)} scales -> {args.out}")
 
