@@ -1,0 +1,75 @@
+"""Aggregate a jax.profiler trace into a per-op-family latency table.
+
+Companion to tools/profile.py (which captures the trace) and
+tools/component_bench.py (stage-level bisection): this reads the
+TensorBoard trace-event JSON and prints ms/frame per op family — the
+device-side truth for where a frame goes (Pallas kernels vs XLA fusions
+vs relayout copies), replacing hand-made breakdowns.
+
+Usage:
+  python tools/profile.py base --out /tmp/trace --frames 2
+  python tools/trace_breakdown.py /tmp/trace --frames 2 [--top 30]
+
+Prints one human table and a final JSON line.
+"""
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import re
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("trace_dir")
+    ap.add_argument("--frames", type=int, default=2,
+                    help="frames captured inside the trace (divisor)")
+    ap.add_argument("--top", type=int, default=25)
+    args = ap.parse_args()
+
+    paths = sorted(glob.glob(f"{args.trace_dir}/**/*.trace.json.gz", recursive=True))
+    if not paths:
+        raise SystemExit(f"no *.trace.json.gz under {args.trace_dir}")
+    with gzip.open(paths[-1]) as f:
+        data = json.load(f)
+    ev = data["traceEvents"]
+
+    pids = {}
+    for e in ev:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pids[e["pid"]] = e["args"].get("name", "")
+    dev_pids = {p for p, n in pids.items() if "TPU" in n or "device" in n.lower()}
+
+    fam = collections.Counter()
+    cnt = collections.Counter()
+    total = 0.0
+    for e in ev:
+        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+            continue
+        name = e["name"]
+        if name.startswith("jit_"):  # whole-module envelope, overlaps children
+            total += e.get("dur", 0)
+            continue
+        g = re.sub(r"[.\d]+$", "", name)
+        fam[g] += e.get("dur", 0)
+        cnt[g] += 1
+
+    n = args.frames
+    print(f"device frame (module envelope): {total / n / 1e3:.1f} ms")
+    print(f"{'ms/frame':>10}  {'calls':>6}  family")
+    rows = []
+    for name, d in fam.most_common(args.top):
+        print(f"{d / n / 1e3:10.2f}  {cnt[name] // n:6d}  {name}")
+        rows.append({"family": name, "ms_per_frame": round(d / n / 1e3, 2),
+                     "calls_per_frame": cnt[name] // n})
+    print(json.dumps({
+        "device_ms_per_frame": round(total / n / 1e3, 1),
+        "families": rows[:10],
+    }))
+
+
+if __name__ == "__main__":
+    main()
