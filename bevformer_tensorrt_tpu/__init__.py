@@ -16,3 +16,14 @@ Layer map (vs. the reference's five-layer stack, SURVEY.md §1):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    # some environments pin jax_platforms via sitecustomize config (which
+    # outranks the env var) — honor an EXPLICIT env var so CPU runs of the
+    # tools/tests work even when an accelerator plugin is present but
+    # unwanted (or unreachable)
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])

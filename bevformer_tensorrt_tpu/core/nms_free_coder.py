@@ -52,7 +52,8 @@ class NMSFreeCoder:
         Returns (bboxes [max_num, 9], scores [max_num], labels [max_num],
         valid [max_num] bool)."""
         scores = jax.nn.sigmoid(cls_scores.astype(jnp.float32)).reshape(-1)
-        top_scores, idx = jax.lax.top_k(scores, self.max_num)
+        # small configs (micro CI) can have fewer proposals than max_num
+        top_scores, idx = jax.lax.top_k(scores, min(self.max_num, scores.shape[0]))
         labels = idx % self.num_classes
         bbox_index = idx // self.num_classes
         boxes = denormalize_bbox(bbox_preds[bbox_index].astype(jnp.float32))

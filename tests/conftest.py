@@ -12,6 +12,11 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+# the container bakes JAX_PLATFORMS=axon; the package honors an explicit
+# env var over the sitecustomize config pin, so force BOTH env and config
+# to cpu before anything imports the package
+os.environ["JAX_PLATFORMS"] = "cpu"
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")

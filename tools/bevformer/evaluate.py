@@ -24,16 +24,50 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("model", choices=["tiny", "small", "base"])
+    ap.add_argument("model", choices=["micro", "tiny", "small", "base"])
     ap.add_argument("--infos", required=True)
     ap.add_argument("--data-root", default=None)
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--quant-scales", default=None, help="PTQ scale-dict checkpoint")
     ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument(
+        "--distributed",
+        action="store_true",
+        help="multi-host eval: jax.distributed.initialize(), scenes sharded "
+        "across processes (recurrent prev_bev never crosses hosts), partial "
+        "boxes merged on process 0 via --partial-dir (a shared filesystem). "
+        "Replaces the reference's DistributedSampler+collect_results path "
+        "(third_party/bev_mmdet3d/apis/test.py).",
+    )
+    ap.add_argument(
+        "--partial-dir", default=None,
+        help="shared dir for cross-host partial results (default: alongside "
+        "--infos)",
+    )
     args = ap.parse_args()
 
+    import os
+    import pickle
+
     import jax
+
+    pid, nproc = 0, 1
+    if args.distributed or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize(
+            coordinator_address=os.environ.get("JAX_COORDINATOR_ADDRESS"),
+            num_processes=(
+                int(os.environ["JAX_NUM_PROCESSES"])
+                if os.environ.get("JAX_NUM_PROCESSES")
+                else None
+            ),
+            process_id=(
+                int(os.environ["JAX_PROCESS_ID"])
+                if os.environ.get("JAX_PROCESS_ID")
+                else None
+            ),
+        )
+        pid, nproc = jax.process_index(), jax.process_count()
     import jax.numpy as jnp
 
     from bevformer_tensorrt_tpu.configs import bevformer as cfgs
@@ -81,8 +115,19 @@ def main():
 
     gt_boxes_all, pred_boxes_all = [], []
     latencies = []
-    n = len(frames) if args.limit is None else min(args.limit, len(frames))
-    for i in range(n):
+    if nproc > 1:
+        from bevformer_tensorrt_tpu.data.sampler import scene_group_shards
+
+        tokens = [e.get("scene_token", "") for e in frames.infos]
+        # whole scenes per process (indices stay timestamp-ordered within
+        # each scene, so the recurrent state machine sees contiguous scenes)
+        indices = scene_group_shards(tokens, nproc)[pid]
+    else:
+        indices = list(range(len(frames)))
+    if args.limit is not None:
+        indices = indices[: args.limit]
+    n = len(indices)
+    for i in indices:
         f = frames.frame(i)
         t0 = time.perf_counter()
         classes, coords = engine.infer_frame(f.image, f.can_bus, f.lidar2img, f.scene_token)
@@ -92,6 +137,26 @@ def main():
         gt_boxes_all += gt_to_eval_boxes(f.sample_token, f.gt_boxes, f.gt_labels)
         if i % 100 == 0:
             print(f"[{i}/{n}]", file=sys.stderr)
+
+    if nproc > 1:
+        # merge partial boxes on process 0 through a shared filesystem
+        # (TPU pods: GCS/NFS), with a collective barrier between write and
+        # read — the multi-host analogue of the reference's collect_results
+        from jax.experimental import multihost_utils
+
+        pdir = Path(args.partial_dir or Path(args.infos).parent)
+        pdir.mkdir(parents=True, exist_ok=True)
+        with open(pdir / f"eval_partial_{pid}.pkl", "wb") as fh:
+            pickle.dump({"gt": gt_boxes_all, "pred": pred_boxes_all}, fh)
+        multihost_utils.sync_global_devices("eval_partials_written")
+        if pid != 0:
+            return
+        gt_boxes_all, pred_boxes_all = [], []
+        for p in range(nproc):
+            with open(pdir / f"eval_partial_{p}.pkl", "rb") as fh:
+                part = pickle.load(fh)
+            gt_boxes_all += part["gt"]
+            pred_boxes_all += part["pred"]
 
     metrics = evaluate_nuscenes(gt_boxes_all, pred_boxes_all, verbose=True)
     # FPS excluding first/last frame (reference convention,
