@@ -52,6 +52,11 @@ def main():
 
     import jax
 
+    # honor an explicit platform env var BEFORE distributed init touches
+    # the backend (sitecustomize may pin jax_platforms via config)
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     pid, nproc = 0, 1
     if args.distributed or os.environ.get("JAX_COORDINATOR_ADDRESS"):
         jax.distributed.initialize(
