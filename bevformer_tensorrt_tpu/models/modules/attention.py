@@ -398,9 +398,11 @@ class MultiheadAttention(nn.Module):
             v = QDQ(name="qdq_v")(v)
         head_dim = C // self.num_heads
         if jax.default_backend() == "tpu" and head_dim in (32, 64):
-            from ...ops.pallas import flash_attention
+            from ...ops.pallas import flash_attention, flash_attention_int8
 
-            impl = flash_attention
+            # int8 flash MHA under quant='int8' — the reference's x8.2 int8
+            # flash plugin tier (multiHeadFlashAttnKernel.cu int8 path)
+            impl = flash_attention_int8 if self.quant == "int8" else flash_attention
         else:
             from ...ops.attention import qkv
 

@@ -6,5 +6,5 @@ a jnp oracle in ops/ and golden tests mirroring the reference's
 P5-as-oracle pattern (§4); on CPU the kernels run in interpreter mode, on
 TPU they compile through Mosaic.
 """
-from .flash_attn import flash_attention  # noqa: F401
+from .flash_attn import flash_attention, flash_attention_int8  # noqa: F401
 from .int8_matmul import int8_matmul  # noqa: F401

@@ -201,3 +201,29 @@ class TestMSDASorted:
             )
         )
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+class TestFlashAttnInt8:
+    def test_matches_fp_reference(self, rng):
+        """int8 flash attention (both matmuls int8, f32 online softmax,
+        dynamic per-tensor scales) tracks the fp path within the int8
+        quantization envelope — the reference's int8 flash-MHA tier."""
+        import jax.numpy as jnp
+
+        from bevformer_tensorrt_tpu.ops.pallas import (
+            flash_attention,
+            flash_attention_int8,
+        )
+
+        B, q_len, kv_len, d = 4, 96, 130, 32
+        q = jnp.asarray(rng.standard_normal((B, q_len, d)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((B, kv_len, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((B, kv_len, d)), jnp.float32)
+        want = np.asarray(
+            flash_attention(q, k, v, block_q=64, block_k=64, interpret=True)
+        )
+        got = np.asarray(
+            flash_attention_int8(q, k, v, block_q=64, block_k=64, interpret=True)
+        )
+        err = np.abs(got - want).mean() / (np.abs(want).mean() + 1e-9)
+        assert err < 0.03, err
