@@ -81,7 +81,7 @@ def main():
 
     # deploy artifact: fold per-channel int8 weights + scales next to
     # the activation scales so quant='int8' never re-quantizes weights
-    quant_vars = fold_int8_weights(quant_vars)
+    quant_vars = {"quant": fold_int8_weights({**variables, **quant_vars})["quant"]}
     save_checkpoint(args.out, quant_vars)
     print(f"saved {len(result.scales)} scales -> {args.out}")
 

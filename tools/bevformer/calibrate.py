@@ -24,7 +24,7 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("model", choices=["tiny", "small", "base"])
+    ap.add_argument("model", choices=["micro", "tiny", "small", "base"])
     ap.add_argument("--infos", required=True)
     ap.add_argument("--data-root", default=None)
     ap.add_argument("--checkpoint", default=None)
@@ -120,7 +120,7 @@ def main():
 
     # deploy artifact: fold per-channel int8 weights + scales next to
     # the activation scales so quant='int8' never re-quantizes weights
-    quant_vars = fold_int8_weights(quant_vars)
+    quant_vars = {"quant": fold_int8_weights({**variables_q, **quant_vars})["quant"]}
     save_checkpoint(args.out, quant_vars)
     print(f"saved {len(result.scales)} scales -> {args.out}")
 
