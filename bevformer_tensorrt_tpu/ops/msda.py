@@ -703,8 +703,9 @@ def _sorted_core(
 
     # query blocks per program: amortizes the ~1.2 us program fixed cost
     # over 8 blocks — dead blocks (compaction tail, off-range split passes)
-    # become one pl.when branch instead of one program each
-    qbb = min(8, QB)
+    # become one pl.when branch instead of one program each.  MSDA_QBB=1
+    # restores the one-block-per-program layout for A/B or fallback.
+    qbb = min(int(os.environ.get("MSDA_QBB", "8")), QB)
 
     if n_splits == 1:
         out = msda_gather_sorted(

@@ -78,24 +78,33 @@ def _kernel(
     sub = 4 if int8 else (2 if packed else 1)  # channels per table word
     Hs = ch // sub
 
-    for j in range(q_blocks):
-        qb = qq * q_blocks + j
-
+    def one_block(j, qb):
         # whole-block skip: write zeros, sweep nothing.
         @pl.when(alive_ref[0, qb, 0] == 0)
-        def _dead(j=j):
-            o_ref[0, :, j * 128 : (j + 1) * 128] = jnp.zeros(
+        def _dead():
+            o_ref[0, :, pl.ds(j * 128, 128)] = jnp.zeros(
                 (o_ref.shape[1], 128), o_ref.dtype
             )
 
         @pl.when(alive_ref[0, qb, 0] != 0)
-        def _live(j=j, qb=qb):
+        def _live():
             hs = [jnp.zeros((Hs, 128), jnp.float32) for _ in range(sub)]
             _blend(
                 qb, j, pmin_ref, pspan_ref, lane_ref, m4_ref, vt_ref3, o_ref,
                 hs, rows=rows, ch=ch, corners=corners, packed=packed,
                 row_group=row_group, emit_rows=emit_rows, two_plane=two_plane,
             )
+
+    if q_blocks == 1:
+        one_block(0, qq)  # static path (no dynamic ref indexing)
+    else:
+        # fori over the program's blocks keeps the Mosaic program size
+        # CONSTANT in q_blocks (a python unroll multiplied the kernel body)
+        def body(j, _):
+            one_block(j, qq * q_blocks + j)
+            return 0
+
+        lax.fori_loop(0, q_blocks, body, 0)
 
 
 def _blend(
@@ -118,10 +127,15 @@ def _blend(
     for g in range(rows // RG):
         base = pmin_ref[0, qb, g]
         span = pspan_ref[0, qb, g]
+        # j may be a traced fori index (q_blocks > 1) — use pl.ds slices
         if two_plane:
-            lane_g = lane_ref[0, j, g * RG : (g + 1) * RG, :, :]  # [RG, 2, 128]
+            lane_g = lane_ref[
+                0, pl.ds(j, 1), g * RG : (g + 1) * RG, :, :
+            ].reshape(RG, 2, 128)
         else:
-            lane_g = lane_ref[0, j, g * RG : (g + 1) * RG, :].reshape(RG, 1, 128)
+            lane_g = lane_ref[
+                0, pl.ds(j, 1), g * RG : (g + 1) * RG, :
+            ].reshape(RG, 1, 128)
         # a lane's in-panel index is lane & 127 for the panel it belongs to
         # (and don't-care elsewhere — the select masks it), so the per-visit
         # work is one compare + one gather + one select; the subtract/clip/
@@ -164,7 +178,9 @@ def _blend(
         for p in range(RG):
             # m4 arrives bf16 on the packed paths (halves the largest prep
             # tensor's HBM traffic + VMEM block); blend math stays f32.
-            m = m4_ref[0, j, g * RG + p].astype(jnp.float32)  # [corners, 128]
+            m = m4_ref[0, pl.ds(j, 1), g * RG + p].reshape(
+                corners, 128
+            ).astype(jnp.float32)
             if emit_rows:
                 hs = [jnp.zeros((Hs, 128), jnp.float32) for _ in range(sub)]
             for x in range(corners):
@@ -180,12 +196,14 @@ def _blend(
                 r = (g * RG + p) * ch
                 for s in range(sub):
                     o_ref[
-                        0, r + s * Hs : r + (s + 1) * Hs, j * 128 : (j + 1) * 128
+                        0, r + s * Hs : r + (s + 1) * Hs, pl.ds(j * 128, 128)
                     ] = hs[s].astype(o_ref.dtype)
 
     if not emit_rows:
         for s in range(sub):
-            o_ref[0, s * Hs : (s + 1) * Hs, j * 128 : (j + 1) * 128] = hs[s]
+            o_ref[0, s * Hs : (s + 1) * Hs, pl.ds(j * 128, 128)] = hs[s].astype(
+                o_ref.dtype
+            )
 
 
 @functools.partial(
