@@ -123,10 +123,19 @@ def main():
     args = ap.parse_args()
 
     import jax
+    import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
-    out = {}
+    # dispatch floor: per-call host-readback latency of a trivial program.
+    # On the tunneled dev backend this is ~28 ms and dominates the fast
+    # models' frames; a production serving stack doesn't pay it.  Raw FPS
+    # stays the headline; fps_net is the floor-corrected compute rate.
+    tiny_fn = jax.jit(lambda x: x + 1.0)
+    floor_s = timeit(tiny_fn, jnp.zeros((8, 128)), iters=10, warmup=3)
+    print(f"dispatch floor: {floor_s * 1e3:.1f} ms", file=sys.stderr)
+
+    out = {"dispatch_floor_ms": round(floor_s * 1e3, 1)}
     for m in args.models:
         try:
             if m in ("tiny", "small", "base"):
@@ -135,12 +144,19 @@ def main():
                 fps, bs = bench_bevdet(args.dtype)
             else:
                 fps, bs = bench_2d(m, args.dtype)
+            net = 1.0 / max(1.0 / fps - floor_s, 1e-6)
             out[m] = {
                 "fps": round(fps, 2),
+                "fps_net": round(net, 2),
                 "batch": bs,
                 "vs_baseline": round(fps / BASELINES[m], 3),
+                "vs_baseline_net": round(net / BASELINES[m], 3),
             }
-            print(f"{m}: {fps:.1f} FPS (x{fps / BASELINES[m]:.2f} vs reference)", file=sys.stderr)
+            print(
+                f"{m}: {fps:.1f} FPS raw / {net:.1f} net "
+                f"(x{fps / BASELINES[m]:.2f} / x{net / BASELINES[m]:.2f} vs reference)",
+                file=sys.stderr,
+            )
         except Exception as e:
             out[m] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
             print(f"{m}: FAILED {type(e).__name__}", file=sys.stderr)
