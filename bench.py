@@ -101,13 +101,33 @@ def main():
         variables = {**variables, "quant": traverse_util.unflatten_dict(flat)}
         log(f"calibration (max, 1 batch): {time.perf_counter() - t0:.1f}s")
 
-    @jax.jit
-    def apply_fn(v, image, prev_bev, use_prev, can_bus, l2i):
-        return model.apply(v, image, prev_bev, use_prev, can_bus, l2i)
+    def make_apply():
+        @jax.jit
+        def apply_fn(v, image, prev_bev, use_prev, can_bus, l2i):
+            return model.apply(v, image, prev_bev, use_prev, can_bus, l2i)
 
+        return apply_fn
+
+    # kernel-variant safety net: if the preferred sorted-kernel layout
+    # (multi-block programs + two-plane tables) fails to compile on this
+    # backend/toolchain, fall back to the conservative single-block,
+    # four-plane layout rather than failing the benchmark.
+    import os
+
+    apply_fn = make_apply()
     t0 = time.perf_counter()
-    out = apply_fn(variables, image, prev_bev, jnp.float32(1.0), can_bus, lidar2img)
-    jax.block_until_ready(out)
+    try:
+        out = apply_fn(variables, image, prev_bev, jnp.float32(1.0), can_bus, lidar2img)
+        jax.block_until_ready(out)
+    except Exception as e:  # pragma: no cover - depends on kernel toolchain
+        log(f"preferred kernel layout failed ({type(e).__name__}); "
+            "falling back to MSDA_QBB=1 MSDA_TWO_PLANE=0")
+        os.environ["MSDA_QBB"] = "1"
+        os.environ["MSDA_TWO_PLANE"] = "0"
+        jax.clear_caches()
+        apply_fn = make_apply()
+        out = apply_fn(variables, image, prev_bev, jnp.float32(1.0), can_bus, lidar2img)
+        jax.block_until_ready(out)
     log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
 
     lat = []
