@@ -119,9 +119,13 @@ def main():
     try:
         out = apply_fn(variables, image, prev_bev, jnp.float32(1.0), can_bus, lidar2img)
         jax.block_until_ready(out)
-    except Exception as e:  # pragma: no cover - depends on kernel toolchain
-        log(f"preferred kernel layout failed ({type(e).__name__}); "
-            "falling back to MSDA_QBB=1 MSDA_TWO_PLANE=0")
+    except Exception:  # pragma: no cover - depends on kernel toolchain
+        import traceback
+
+        log(traceback.format_exc())
+        log("preferred kernel layout failed (full traceback above); "
+            "retrying with MSDA_QBB=1 MSDA_TWO_PLANE=0 — a genuinely "
+            "unrelated failure will fail again below")
         os.environ["MSDA_QBB"] = "1"
         os.environ["MSDA_TWO_PLANE"] = "0"
         jax.clear_caches()

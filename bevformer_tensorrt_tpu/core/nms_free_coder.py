@@ -49,8 +49,8 @@ class NMSFreeCoder:
     def decode_single(self, cls_scores: jnp.ndarray, bbox_preds: jnp.ndarray):
         """cls_scores [num_query, num_classes] logits; bbox_preds [num_query, 10].
 
-        Returns (bboxes [max_num, 9], scores [max_num], labels [max_num],
-        valid [max_num] bool)."""
+        Returns (bboxes [K, 9], scores [K], labels [K], valid [K] bool),
+        K = min(max_num, num_query * num_classes)."""
         scores = jax.nn.sigmoid(cls_scores.astype(jnp.float32)).reshape(-1)
         # small configs (micro CI) can have fewer proposals than max_num
         top_scores, idx = jax.lax.top_k(scores, min(self.max_num, scores.shape[0]))

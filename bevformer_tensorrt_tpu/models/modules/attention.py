@@ -392,17 +392,21 @@ class MultiheadAttention(nn.Module):
         q = QDense(C, quant=self.quant, name="q_proj")(query)
         k = QDense(C, quant=self.quant, name="k_proj")(key)
         v = QDense(C, quant=self.quant, name="v_proj")(value)
-        if self.quant:
+        head_dim = C // self.num_heads
+        use_flash = jax.default_backend() == "tpu" and head_dim in (32, 64)
+        int8_flash = use_flash and self.quant == "int8"
+        if self.quant and not int8_flash:
+            # int8 flash quantizes q/k/v itself (dynamic per-tensor scales);
+            # a fake-quant pass before it would just double-round
             q = QDQ(name="qdq_q")(q)
             k = QDQ(name="qdq_k")(k)
             v = QDQ(name="qdq_v")(v)
-        head_dim = C // self.num_heads
-        if jax.default_backend() == "tpu" and head_dim in (32, 64):
+        if use_flash:
             from ...ops.pallas import flash_attention, flash_attention_int8
 
             # int8 flash MHA under quant='int8' — the reference's x8.2 int8
             # flash plugin tier (multiHeadFlashAttnKernel.cu int8 path)
-            impl = flash_attention_int8 if self.quant == "int8" else flash_attention
+            impl = flash_attention_int8 if int8_flash else flash_attention
         else:
             from ...ops.attention import qkv
 

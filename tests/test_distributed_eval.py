@@ -26,7 +26,7 @@ def test_two_process_distributed_eval(tmp_path):
     )
     infos = synth / "nuscenes_infos_synthetic.pkl"
 
-    port = 12397
+    port = 12000 + os.getpid() % 20000
     procs = []
     for pid in range(2):
         env = dict(
@@ -51,28 +51,35 @@ def test_two_process_distributed_eval(tmp_path):
         assert p.returncode == 0, f"rc={p.returncode}\n{err[-2000:]}"
         outs.append(out)
 
-    # both processes wrote partials; process 0 printed merged metrics
-    assert (tmp_path / "partials" / "eval_partial_0.pkl").exists()
-    assert (tmp_path / "partials" / "eval_partial_1.pkl").exists()
+    # both processes wrote partials (namespaced by coordinator address);
+    # process 0 printed merged metrics
+    pdir = tmp_path / "partials" / f"partials_127.0.0.1_{port}"
+    assert (pdir / "eval_partial_0.pkl").exists()
+    assert (pdir / "eval_partial_1.pkl").exists()
     # process 0 prints the merged metrics JSON as its last stdout line
     # (collectives also chat on stdout, e.g. Gloo connection notices)
     def last_json(o):
         for line in reversed(o.strip().splitlines()):
             try:
-                return json.loads(line)
+                m = json.loads(line)
             except (json.JSONDecodeError, ValueError):
                 continue
+            if isinstance(m, dict) and "NDS" in m:
+                return m
         return None
 
     parsed = [m for m in (last_json(o) for o in outs) if m is not None]
     assert len(parsed) == 1, outs
     metrics = parsed[0]
     assert "NDS" in metrics and "mAP" in metrics
-    # merged eval saw every frame's GT (6 frames x 3 synthetic boxes)
+    # the two shards together saw EVERY frame exactly once (no drop, no
+    # duplicate): every sample token appears in exactly one partial
     import pickle
 
-    n_gt = 0
+    tokens = []
     for pid in range(2):
-        with open(tmp_path / "partials" / f"eval_partial_{pid}.pkl", "rb") as f:
-            n_gt += len(pickle.load(f)["gt"])
-    assert n_gt > 0
+        with open(pdir / f"eval_partial_{pid}.pkl", "rb") as f:
+            part = pickle.load(f)
+        assert len(part["gt"]) > 0  # both shards got scenes
+        tokens += sorted({b.sample_token for b in part["gt"]})
+    assert len(tokens) == 6 and len(set(tokens)) == 6, tokens

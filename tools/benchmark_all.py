@@ -144,7 +144,8 @@ def main():
                 fps, bs = bench_bevdet(args.dtype)
             else:
                 fps, bs = bench_2d(m, args.dtype)
-            net = 1.0 / max(1.0 / fps - floor_s, 1e-6)
+            # floor is paid once per CALL; a call processes `bs` frames
+            net = bs / max(bs / fps - floor_s, 1e-6)
             out[m] = {
                 "fps": round(fps, 2),
                 "fps_net": round(net, 2),

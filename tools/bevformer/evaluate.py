@@ -30,6 +30,12 @@ def main():
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--quant-scales", default=None, help="PTQ scale-dict checkpoint")
+    ap.add_argument(
+        "--quant", default="qdq", choices=["qdq", "int8"],
+        help="with --quant-scales: 'qdq' simulates quantization (fake-quant"
+        " sites, the reference's PTQ-eval), 'int8' executes real int8"
+        " matmuls/convs/kernels using the checkpoint's folded weights",
+    )
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument(
         "--distributed",
@@ -91,9 +97,10 @@ def main():
     from bevformer_tensorrt_tpu.runtime.checkpoint import load_checkpoint
     from bevformer_tensorrt_tpu.runtime.engine import BEVFormerEngine
 
-    cfg = getattr(cfgs, f"bevformer_{args.model}")(
-        dtype=args.dtype, quant=args.quant_scales is not None
-    )
+    quant = False
+    if args.quant_scales:
+        quant = "int8" if args.quant == "int8" else True
+    cfg = getattr(cfgs, f"bevformer_{args.model}")(dtype=args.dtype, quant=quant)
     model = BEVFormer(cfg)
     norm = IMG_NORM_PYTORCH if args.model == "tiny" else IMG_NORM_CAFFE
     frames = NuScenesFrames(
@@ -132,7 +139,7 @@ def main():
     if args.limit is not None:
         indices = indices[: args.limit]
     n = len(indices)
-    for i in indices:
+    for step, i in enumerate(indices):
         f = frames.frame(i)
         t0 = time.perf_counter()
         classes, coords = engine.infer_frame(f.image, f.can_bus, f.lidar2img, f.scene_token)
@@ -140,16 +147,22 @@ def main():
         latencies.append(time.perf_counter() - t0)
         pred_boxes_all += detections_to_eval_boxes(f.sample_token, det)
         gt_boxes_all += gt_to_eval_boxes(f.sample_token, f.gt_boxes, f.gt_labels)
-        if i % 100 == 0:
-            print(f"[{i}/{n}]", file=sys.stderr)
+        if step % 100 == 0:
+            print(f"[{step}/{n}]", file=sys.stderr)
 
     if nproc > 1:
         # merge partial boxes on process 0 through a shared filesystem
         # (TPU pods: GCS/NFS), with a collective barrier between write and
-        # read — the multi-host analogue of the reference's collect_results
+        # read — the multi-host analogue of the reference's collect_results.
+        # Namespaced by the coordinator address so concurrent eval runs
+        # against the same dataset can't cross-read each other's partials.
         from jax.experimental import multihost_utils
 
-        pdir = Path(args.partial_dir or Path(args.infos).parent)
+        run_ns = (
+            os.environ.get("JAX_COORDINATOR_ADDRESS", "run")
+            .replace(":", "_").replace("/", "_")
+        )
+        pdir = Path(args.partial_dir or Path(args.infos).parent) / f"partials_{run_ns}"
         pdir.mkdir(parents=True, exist_ok=True)
         with open(pdir / f"eval_partial_{pid}.pkl", "wb") as fh:
             pickle.dump({"gt": gt_boxes_all, "pred": pred_boxes_all}, fh)

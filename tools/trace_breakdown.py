@@ -42,20 +42,28 @@ def main():
         if e.get("ph") == "M" and e.get("name") == "process_name":
             pids[e["pid"]] = e["args"].get("name", "")
     dev_pids = {p for p, n in pids.items() if "TPU" in n or "device" in n.lower()}
+    if not dev_pids:
+        raise SystemExit(
+            f"no device track found in trace (processes: {pids}) — "
+            "was the capture taken on an accelerator?"
+        )
 
     fam = collections.Counter()
     cnt = collections.Counter()
-    total = 0.0
+    env = collections.Counter()  # per jit-envelope family (init/apply/decode)
     for e in ev:
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
             continue
         name = e["name"]
-        if name.startswith("jit_"):  # whole-module envelope, overlaps children
-            total += e.get("dur", 0)
+        if name.startswith("jit_"):  # whole-program envelope, overlaps children
+            env[re.sub(r"\(.*\)$", "", name)] += e.get("dur", 0)
             continue
         g = re.sub(r"[.\d]+$", "", name)
         fam[g] += e.get("dur", 0)
         cnt[g] += 1
+    # the model frame is the DOMINANT envelope; a warmup/init/decode program
+    # captured in the same window would otherwise inflate the total
+    total = max(env.values()) if env else 0.0
 
     n = args.frames
     print(f"device frame (module envelope): {total / n / 1e3:.1f} ms")
