@@ -63,21 +63,20 @@ class DeformConv2d(nn.Module):
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (3, 3, x.shape[-1], self.features), jnp.float32
         )
-        # NHWC -> NCHW for the op, back after
-        off_mask = off_mask.transpose(0, 3, 1, 2)
-        o1, o2, mask = jnp.split(off_mask, [dg * 9, dg * 18], axis=1)
-        offset = jnp.concatenate([o1, o2], axis=1)
         # mmcv packs (o1, o2) as interleaved (y, x) per tap after concat:
         # conv_offset emits [o1(y-taps), o2(x-taps), mask]; modulated deform
-        # conv expects per-tap interleave, so interleave here.
+        # conv expects per-tap interleave, so interleave here.  Everything
+        # stays NHWC — the op's NHWC layout path packs its gather table
+        # channel-last and emits pixels-major, so neither the feature map
+        # nor the output pays an NCHW relayout.
         ntap = dg * 9
-        oy = offset[:, :ntap]
-        ox = offset[:, ntap:]
-        offset = jnp.stack([oy, ox], axis=2).reshape(x.shape[0], 2 * ntap, *oy.shape[-2:])
-        mask = jax.nn.sigmoid(mask)
+        oy = off_mask[..., :ntap]
+        ox = off_mask[..., ntap : 2 * ntap]
+        offset = jnp.stack([oy, ox], axis=-1).reshape(*oy.shape[:-1], 2 * ntap)
+        mask = jax.nn.sigmoid(off_mask[..., 2 * ntap :])
         w = kernel.transpose(3, 2, 0, 1)  # HWIO -> OIHW
-        out = modulated_deform_conv2d(
-            x.transpose(0, 3, 1, 2),
+        return modulated_deform_conv2d(
+            x,
             offset,
             mask,
             w,
@@ -88,8 +87,8 @@ class DeformConv2d(nn.Module):
             groups=1,
             deform_groups=dg,
             quant="int8" if self.quant == "int8" else False,
+            layout="NHWC",
         )
-        return out.transpose(0, 2, 3, 1)
 
 
 class Bottleneck(nn.Module):

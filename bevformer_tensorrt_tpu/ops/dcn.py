@@ -97,7 +97,7 @@ def _dcn_xla(
 
 def _dcn_pallas(
     x, offset, mask, weight, stride, padding, dilation,
-    packed=True, interpret=False, ch_group=None,
+    packed=True, interpret=False, ch_group=None, layout="NCHW",
 ):
     """Sorted-gather im2col + single GEMM (requires groups=dg=1,
     Cin % ch_group == 0).
@@ -107,12 +107,26 @@ def _dcn_pallas(
     bf16 128 (3.4 ms vs 4.6 at 32 — fewer per-visit fixed costs), int8 64
     (1.75 ms — half the gathered sublanes again).  The reference's int8
     DCN plugin makes the same trade (TensorRT/README.md x5.1 dcn row).
+
+    layout='NHWC' takes x [N,H,W,Cin] / offset [N,Ho,Wo,2*rows] /
+    mask [N,Ho,Wo,rows] and returns [N,Ho,Wo,Cout]: the table packs
+    channel-last words before the keys-minor transpose and the output
+    GEMM emits pixels-major directly, removing both full-feature NHWC <->
+    NCHW relayouts the backbone otherwise pays per DCN block.
     """
-    from .msda import _pack_tables_from_vt, bilinear_slot_terms_pixels
+    from .msda import (
+        _pack_tables_from_vt,
+        _pack_tables_from_xlast,
+        bilinear_slot_terms_pixels,
+    )
     from .pallas.msda_gather import msda_gather_sorted
 
     interpret = interpret or jax.default_backend() != "tpu"
-    N, Cin, H, W = x.shape
+    nhwc = layout == "NHWC"
+    if nhwc:
+        N, H, W, Cin = x.shape
+    else:
+        N, Cin, H, W = x.shape
     Cout, _, kh, kw = weight.shape
     rows = kh * kw
     Ho = (H + 2 * padding - dilation * (kh - 1) - 1) // stride + 1
@@ -126,14 +140,20 @@ def _dcn_pallas(
     G = Cin // ch_group
     B = N * G
 
-    vt = x.reshape(B, ch_group, H * W).astype(
-        jnp.bfloat16 if packed else jnp.float32
-    )
-    table, _, scale = _pack_tables_from_vt(vt, ((H, W),), packed)
-
     f32 = jnp.float32
-    off = offset.astype(f32).reshape(N, rows, 2, S)
-    msk = mask.astype(f32).reshape(N, rows, S)
+    tdtype = jnp.bfloat16 if packed else jnp.float32
+    if nhwc:
+        xl = x.reshape(N, H * W, Cin).astype(tdtype)
+        table, _, scale = _pack_tables_from_xlast(xl, ch_group, ((H, W),), packed)
+        off = (
+            offset.astype(f32).reshape(N, S, rows, 2).transpose(0, 2, 3, 1)
+        )  # [N, rows, 2, S]
+        msk = mask.astype(f32).reshape(N, S, rows).transpose(0, 2, 1)
+    else:
+        vt = x.reshape(B, ch_group, H * W).astype(tdtype)
+        table, _, scale = _pack_tables_from_vt(vt, ((H, W),), packed)
+        off = offset.astype(f32).reshape(N, rows, 2, S)
+        msk = mask.astype(f32).reshape(N, rows, S)
     gy = (jnp.arange(Ho, dtype=f32)[:, None] * stride - padding)
     gx = (jnp.arange(Wo, dtype=f32)[None, :] * stride - padding)
     gy = jnp.broadcast_to(gy, (Ho, Wo)).reshape(1, 1, S)
@@ -179,26 +199,49 @@ def _dcn_pallas(
         # channel-group) scale lands on the im2col rows
         im = im * scale.reshape(N, G)[:, :, None, None, None].astype(mm_dtype)
     wf = weight.astype(mm_dtype).reshape(Cout, G, ch_group, rows)
+    if nhwc:
+        out = jnp.einsum(
+            "ogct,ngtcs->nso", wf, im, preferred_element_type=f32
+        )[:, :S]
+        return out.reshape(N, Ho, Wo, Cout)
     out = jnp.einsum(
         "ogct,ngtcs->nos", wf, im, preferred_element_type=f32
     )[:, :, :S]
     return out.reshape(N, Cout, Ho, Wo)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _dcn_pallas_diff(x, offset, mask, weight, stride, padding, dilation, packed=True):
-    return _dcn_pallas(x, offset, mask, weight, stride, padding, dilation, packed=packed)
+def _dcn_xla_layout(x, offset, mask, weight, stride, padding, dilation, groups, dg, layout):
+    """_dcn_xla with optional NHWC in/out (the XLA path is the training /
+    CPU fallback, so plain transposes are fine here)."""
+    if layout == "NHWC":
+        out = _dcn_xla(
+            x.transpose(0, 3, 1, 2),
+            offset.transpose(0, 3, 1, 2),
+            mask.transpose(0, 3, 1, 2),
+            weight, stride, padding, dilation, groups, dg,
+        )
+        return out.transpose(0, 2, 3, 1)
+    return _dcn_xla(x, offset, mask, weight, stride, padding, dilation, groups, dg)
 
 
-def _dcn_pallas_fwd(x, offset, mask, weight, stride, padding, dilation, packed=True):
-    out = _dcn_pallas(x, offset, mask, weight, stride, padding, dilation, packed=packed)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _dcn_pallas_diff(x, offset, mask, weight, stride, padding, dilation, packed=True, layout="NCHW"):
+    return _dcn_pallas(
+        x, offset, mask, weight, stride, padding, dilation, packed=packed, layout=layout
+    )
+
+
+def _dcn_pallas_fwd(x, offset, mask, weight, stride, padding, dilation, packed=True, layout="NCHW"):
+    out = _dcn_pallas(
+        x, offset, mask, weight, stride, padding, dilation, packed=packed, layout=layout
+    )
     return out, (x, offset, mask, weight)
 
 
-def _dcn_pallas_bwd(stride, padding, dilation, packed, res, g):
+def _dcn_pallas_bwd(stride, padding, dilation, packed, layout, res, g):
     x, offset, mask, weight = res
     _, vjp = jax.vjp(
-        lambda *a: _dcn_xla(*a, stride, padding, dilation, 1, 1),
+        lambda *a: _dcn_xla_layout(*a, stride, padding, dilation, 1, 1, layout),
         x, offset, mask, weight,
     )
     return vjp(g.astype(jnp.float32))
@@ -211,7 +254,7 @@ _dcn_pallas_diff.defvjp(_dcn_pallas_fwd, _dcn_pallas_bwd)
     jax.jit,
     static_argnames=(
         "stride", "padding", "dilation", "groups", "deform_groups", "impl",
-        "quant",
+        "quant", "layout",
     ),
 )
 def modulated_deform_conv2d(
@@ -227,30 +270,42 @@ def modulated_deform_conv2d(
     deform_groups: int = 1,
     impl: str = "auto",
     quant: bool | str = False,
+    layout: str = "NCHW",
 ) -> jax.Array:
     """DCNv2 forward.
 
     Args:
-      x: [N, Cin, H, W]
+      x: [N, Cin, H, W] (or [N, H, W, Cin] with layout='NHWC')
       offset: [N, 2*dg*kh*kw, Ho, Wo] — per tap (y, x) interleaved, mmcv layout
-        (channel 2*t = y-offset of tap t, 2*t+1 = x-offset).
-      mask: [N, dg*kh*kw, Ho, Wo], sigmoid already applied.
+        (channel 2*t = y-offset of tap t, 2*t+1 = x-offset).  NHWC: same
+        interleave on the last axis, [N, Ho, Wo, 2*dg*kh*kw].
+      mask: [N, dg*kh*kw, Ho, Wo] (NHWC: [N, Ho, Wo, dg*kh*kw]), sigmoid
+        already applied.
       weight: [Cout, Cin//groups, kh, kw]
       bias: [Cout] or None.
       impl: 'auto' (Pallas on TPU when eligible), 'pallas', or 'jnp'.
       quant: 'int8' packs the gather table int8 (quarter VMEM, half the
         gathered sublanes; ~1% rel err — the reference's int8 DCN plugin
         trade, TensorRT/README.md modulated-deform-conv x5.1 row).
+      layout: 'NCHW' (mmcv contract) or 'NHWC' (TPU-native; skips both
+        full-feature relayouts around the op — the backbone path).
     Returns:
-      [N, Cout, Ho, Wo]
+      [N, Cout, Ho, Wo] (NHWC: [N, Ho, Wo, Cout])
     """
-    N, Cin, H, W = x.shape
+    if layout == "NHWC":
+        N, H, W, Cin = x.shape
+    else:
+        N, Cin, H, W = x.shape
     Cout, Cin_g, kh, kw = weight.shape
     dg = deform_groups
     Ho = (H + 2 * padding - dilation * (kh - 1) - 1) // stride + 1
     Wo = (W + 2 * padding - dilation * (kw - 1) - 1) // stride + 1
-    assert offset.shape == (N, 2 * dg * kh * kw, Ho, Wo), offset.shape
-    assert mask.shape == (N, dg * kh * kw, Ho, Wo), mask.shape
+    if layout == "NHWC":
+        assert offset.shape == (N, Ho, Wo, 2 * dg * kh * kw), offset.shape
+        assert mask.shape == (N, Ho, Wo, dg * kh * kw), mask.shape
+    else:
+        assert offset.shape == (N, 2 * dg * kh * kw, Ho, Wo), offset.shape
+        assert mask.shape == (N, dg * kh * kw, Ho, Wo), mask.shape
 
     eligible = groups == 1 and dg == 1 and Cin % 32 == 0
     use_pallas = impl == "pallas" or (
@@ -259,12 +314,13 @@ def modulated_deform_conv2d(
     if use_pallas:
         out = _dcn_pallas_diff(
             x, offset, mask, weight, stride, padding, dilation,
-            "int8" if quant == "int8" else True,
+            "int8" if quant == "int8" else True, layout,
         )
     else:
-        out = _dcn_xla(
-            x, offset, mask, weight, stride, padding, dilation, groups, dg
+        out = _dcn_xla_layout(
+            x, offset, mask, weight, stride, padding, dilation, groups, dg, layout
         )
     if bias is not None:
-        out = out + bias.astype(out.dtype)[None, :, None, None]
+        b = bias.astype(out.dtype)
+        out = out + (b[None, None, None, :] if layout == "NHWC" else b[None, :, None, None])
     return out.astype(x.dtype)

@@ -366,6 +366,60 @@ def _pack_tables_from_vt(vt, spatial_shapes, packed, planes=4):
         w = _pack_bf16_halves(vt, ch)  # [B, ch/2, keys]
     else:
         w = vt.astype(jnp.float32)
+    return (*_roll_pad_levels(w, spatial_shapes, planes), scale)
+
+
+def _pack_tables_from_xlast(xl, ch_group, spatial_shapes, packed, planes=4):
+    """Channel-LAST table build: xl [N, keys, C] (an NHWC feature map
+    flattened over H*W) -> the same (table, level_base, scale) contract as
+    `_pack_tables_from_vt` with B = N * (C // ch_group), n-major.
+
+    Packs the u32 words along the resident minor channel axis FIRST and
+    only then transposes keys-minor — the transpose moves the packed words
+    (half the elements for bf16 pairs, a quarter for int8), where
+    transpose-then-pack would relayout the raw feature map.  Word layout
+    matches `_pack_bf16_halves` / `_pack_int8_quarters` exactly: halves
+    pair channels (k, k+chg/2), quarters pack (k, k+chg/4, k+chg/2,
+    k+3chg/4) msb-first, per channel group."""
+    N, keys, C = xl.shape
+    G = C // ch_group
+    scale = None
+    if packed == "int8":
+        amax = jnp.max(jnp.abs(xl.astype(jnp.float32)), axis=1)  # [N, C]
+        amax = amax.reshape(N, G, ch_group).max(-1)
+        scale = jnp.maximum(amax, 1e-12) / 127.0  # [N, G]
+        q = jnp.clip(
+            jnp.round(
+                xl.astype(jnp.float32)
+                / jnp.repeat(scale, ch_group, axis=1)[:, None, :]
+            ),
+            -127,
+            127,
+        ).astype(jnp.int32)
+        u8 = (q & 0xFF).astype(jnp.uint32).reshape(N, keys, G, 4, ch_group // 4)
+        w = (
+            (u8[..., 0, :] << 24)
+            | (u8[..., 1, :] << 16)
+            | (u8[..., 2, :] << 8)
+            | u8[..., 3, :]
+        )  # [N, keys, G, chg/4]
+        scale = scale.reshape(N * G)
+    elif packed:
+        u16 = jax.lax.bitcast_convert_type(
+            xl.astype(jnp.bfloat16), jnp.uint16
+        ).astype(jnp.uint32)
+        u16 = u16.reshape(N, keys, G, 2, ch_group // 2)
+        w = (u16[..., 0, :] << 16) | u16[..., 1, :]  # [N, keys, G, chg/2]
+    else:
+        w = xl.astype(jnp.float32).reshape(N, keys, G, ch_group)
+    w = w.transpose(0, 2, 3, 1).reshape(N * G, -1, keys)  # [B, ch/sub, keys]
+    return (*_roll_pad_levels(w, spatial_shapes, planes), scale)
+
+
+def _roll_pad_levels(w, spatial_shapes, planes):
+    """Corner-pack packed words `w` [B, ch/sub, keys] via minor-axis rolls,
+    pad each level's key axis to a 128 multiple, concatenate levels.
+    Returns (table [B, planes*ch/sub, HWp], level_base panels)."""
     starts = [0]
     for h, wd in spatial_shapes:
         starts.append(starts[-1] + h * wd)
@@ -384,7 +438,7 @@ def _pack_tables_from_vt(vt, spatial_shapes, packed, planes=4):
         tables.append(v4)
         level_base.append(panels)
         panels += (H * W + hw_pad) // 128
-    return jnp.concatenate(tables, axis=-1), level_base, scale
+    return jnp.concatenate(tables, axis=-1), level_base
 
 
 def _build_tables(value, spatial_shapes, packed):

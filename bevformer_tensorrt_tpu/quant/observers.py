@@ -49,32 +49,41 @@ def _kl_divergence(p: np.ndarray, q: np.ndarray) -> float:
     return float(np.sum(p[mask] * np.log(p[mask] / qm[mask])))
 
 
-def entropy_threshold(hist: np.ndarray) -> int:
+def entropy_threshold(hist: np.ndarray, stride: int = 1) -> int:
     """TensorRT-style KL threshold search: pick the clip bin i (>=128) whose
     128-level quantization of hist[:i] (outliers folded into the last bin)
-    minimizes KL(P || Q).  Returns the chosen bin count i."""
+    minimizes KL(P || Q).  Returns the chosen bin count i.
+
+    stride MUST default to 1: the KL curve has deep, narrow minima exactly
+    where the clip boundary aligns with the bulk/outlier gap (measured: a
+    heavy-tailed gaussian's true minimum at i=141 is ~6x deeper than its
+    stride-8 neighbors; a stride-8 scan landed at i=480 — a 3.4x looser
+    clip, i.e. 3.4x coarser int8 resolution on the bulk).  Verified against
+    pytorch-quantization's _compute_amax_entropy on shared histograms
+    (tests/test_quant.py entropy-oracle diff)."""
     hist = hist.astype(np.float64)
     best_i, best_kl = NUM_BINS, np.inf
     nonzero_total = hist.sum()
     if nonzero_total == 0:
         return NUM_BINS
-    for i in range(QUANT_LEVELS, NUM_BINS + 1, 8):
+    # tail[i] = hist[i:].sum(), computed once
+    tail = np.concatenate([np.cumsum(hist[::-1])[::-1], [0.0]])
+    nz_all = hist > 0
+    for i in range(QUANT_LEVELS, NUM_BINS + 1, stride):
         raw = hist[:i]
         p = raw.copy()
-        p[-1] += hist[i:].sum()  # fold clipped outliers into P's last bin
+        p[-1] += tail[i]  # fold clipped outliers into P's last bin
         # quantize the UNFOLDED raw distribution into QUANT_LEVELS groups,
         # then expand back over raw's nonzero support — clipping mass that Q
         # cannot represent is what the KL term penalizes.
         group = i / QUANT_LEVELS
-        edges = (np.arange(QUANT_LEVELS + 1) * group).round().astype(int)
-        q = np.zeros(i)
-        for g in range(QUANT_LEVELS):
-            lo, hi = edges[g], edges[g + 1]
-            seg = raw[lo:hi]
-            nz = seg > 0
-            cnt = nz.sum()
-            if cnt:
-                q[lo:hi][nz] = seg[nz].sum() / cnt
+        starts = (np.arange(QUANT_LEVELS) * group).round().astype(int)
+        nz = nz_all[:i]
+        gsum = np.add.reduceat(raw, starts)
+        gcnt = np.add.reduceat(nz.astype(np.float64), starts)
+        gavg = np.where(gcnt > 0, gsum / np.maximum(gcnt, 1.0), 0.0)
+        lens = np.diff(np.append(starts, i))
+        q = np.repeat(gavg, lens) * nz
         kl = _kl_divergence(p, q)
         if kl < best_kl:
             best_kl, best_i = kl, i

@@ -1,6 +1,7 @@
 """Golden tests for rotate, bev_pool_v2, qkv, dcn, inverse (torch oracles)."""
 import math
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 import torch
@@ -221,6 +222,64 @@ def test_dcn_pallas_matches_xla(rng, stride, cin):
     )
     b = _dcn_xla(x, offset, mask, weight, stride, 1, 1, 1, 1)
     assert _mad(a, np.asarray(b)) < 1e-5
+
+
+@pytest.mark.parametrize("packed", [False, True, "int8"])
+def test_dcn_nhwc_layout_matches_nchw(rng, packed):
+    """layout='NHWC' (channel-last table pack + pixels-major GEMM emit,
+    the backbone path) must match the NCHW path bit-for-bit: same words,
+    same gather, same contraction — only layouts differ."""
+    from bevformer_tensorrt_tpu.ops.dcn import _dcn_pallas
+
+    N, Cin, H, W = 2, 64, 9, 11
+    Cout, kh, kw = 8, 3, 3
+    x = rng.standard_normal((N, Cin, H, W)).astype(np.float32)
+    offset = (rng.standard_normal((N, 2 * kh * kw, H, W)) * 1.5).astype(np.float32)
+    mask = rng.random((N, kh * kw, H, W)).astype(np.float32)
+    weight = (rng.standard_normal((Cout, Cin, kh, kw)) * 0.1).astype(np.float32)
+    a = np.asarray(
+        _dcn_pallas(x, offset, mask, weight, 1, 1, 1, packed=packed, interpret=True)
+    )
+    b = np.asarray(
+        _dcn_pallas(
+            x.transpose(0, 2, 3, 1),
+            offset.transpose(0, 2, 3, 1),
+            mask.transpose(0, 2, 3, 1),
+            weight, 1, 1, 1, packed=packed, interpret=True, layout="NHWC",
+        )
+    )
+    assert _mad(a, b.transpose(0, 3, 1, 2)) == 0.0
+
+
+def test_dcn_nhwc_xla_fallback_and_grad(rng):
+    """Public-API NHWC on the XLA fallback path (impl='jnp') matches NCHW,
+    and the custom-vjp backward runs in NHWC layout."""
+    import jax
+
+    N, Cin, H, W, Cout = 1, 32, 6, 7, 4
+    x = rng.standard_normal((N, Cin, H, W)).astype(np.float32)
+    offset = (rng.standard_normal((N, 18, H, W)) * 1.5).astype(np.float32)
+    mask = rng.random((N, 9, H, W)).astype(np.float32)
+    weight = (rng.standard_normal((Cout, Cin, 3, 3)) * 0.1).astype(np.float32)
+    bias = rng.standard_normal(Cout).astype(np.float32)
+    a = modulated_deform_conv2d(x, offset, mask, weight, bias, impl="jnp")
+    b = modulated_deform_conv2d(
+        x.transpose(0, 2, 3, 1), offset.transpose(0, 2, 3, 1),
+        mask.transpose(0, 2, 3, 1), weight, bias, impl="jnp", layout="NHWC",
+    )
+    assert _mad(a, np.asarray(b).transpose(0, 3, 1, 2)) < 1e-6
+
+    from bevformer_tensorrt_tpu.ops.dcn import _dcn_pallas_diff
+
+    def loss(xi):
+        return _dcn_pallas_diff(
+            xi, jnp.asarray(offset.transpose(0, 2, 3, 1)),
+            jnp.asarray(mask.transpose(0, 2, 3, 1)), jnp.asarray(weight),
+            1, 1, 1, False, "NHWC",
+        ).sum()
+
+    g = jax.grad(loss)(jnp.asarray(x.transpose(0, 2, 3, 1)))
+    assert g.shape == (N, H, W, Cin) and np.isfinite(np.asarray(g)).all()
 
 
 def test_dcn_pallas_int8_close(rng):

@@ -255,3 +255,74 @@ def test_fold_int8_weights_matches_derived(rng):
     vc = calib(mc, xc)
     vcf = fold_int8_weights(vc)
     np.testing.assert_array_equal(np.asarray(mc.apply(vcf, xc)), np.asarray(mc.apply(vc, xc)))
+
+
+# ---------------------------------------------------------------------------
+# Entropy-calibration oracle diff (VERDICT r1 item 7): a faithful test-only
+# port of pytorch-quantization's HistogramCalibrator entropy amax search
+# (tools/pytorch-quantization calib/histogram.py::_compute_amax_entropy, the
+# same TRT-style KL threshold search the reference's QDQ path uses via
+# calibrator_qdq.py).  Both searches run on SHARED histograms of the same
+# tensors; the chosen clip thresholds must agree closely.
+def _oracle_amax_entropy(hist, bin_edges, num_bits=8, stride=1, start_bin=128):
+    bins = hist.astype(np.float64).copy()
+    bins[0] = bins[1]  # the oracle's first-bin smoothing
+    nbins = 1 << (num_bits - 1)  # 128 for signed int8
+    stop = len(bins)
+    divergences, arguments = [], []
+    for i in range(start_bin, stop + 1, stride):
+        space = np.linspace(0, i, num=nbins + 1)
+        digitized = np.digitize(np.arange(i), space) - 1
+        digitized[bins[:i] == 0] = -1
+        new_counts = np.zeros(nbins)
+        group_n = np.zeros(nbins)
+        for idx, d in enumerate(digitized):
+            if d != -1:
+                new_counts[d] += bins[idx]
+                group_n[d] += 1
+        with np.errstate(invalid="ignore"):
+            avg = np.where(group_n > 0, new_counts / np.maximum(group_n, 1), 0.0)
+        new_density = np.where(digitized != -1, avg[np.clip(digitized, 0, None)], 0.0)
+        ref_density = bins[:i].copy()
+        ref_density[-1] += bins[i:].sum()
+        p = ref_density / max(ref_density.sum(), 1e-12)
+        q = new_density / max(new_density.sum(), 1e-12)
+        m = p > 0
+        kl = float(np.sum(p[m] * np.log(p[m] / np.where(q[m] > 0, q[m], 1e-12))))
+        divergences.append(kl)
+        arguments.append(i)
+    divergences = np.asarray(divergences)
+    last_argmin = len(divergences) - 1 - int(np.argmin(divergences[::-1]))
+    return bin_edges[arguments[last_argmin]]
+
+
+@pytest.mark.parametrize(
+    "dist",
+    ["gauss", "gauss_outliers", "laplace"],
+)
+def test_entropy_scale_matches_pytorch_quantization_oracle(rng, dist):
+    n = 200_000
+    if dist == "gauss":
+        x = rng.standard_normal(n)
+    elif dist == "gauss_outliers":
+        x = rng.standard_normal(n)
+        x[:40] *= 40.0  # heavy outlier tail: entropy must clip far below amax
+    else:
+        x = rng.laplace(size=n)
+    ax = np.abs(x).astype(np.float32)
+    amax = float(ax.max())
+    width = amax / NUM_BINS
+    hist, edges = np.histogram(ax, bins=NUM_BINS, range=(0.0, amax))
+
+    ours_clip = compute_scale(amax, hist.astype(np.float64), method="entropy") * 127.0
+    oracle_clip = _oracle_amax_entropy(hist, edges[1:], stride=1)
+
+    # stride-8 scan + (i+0.5) center vs the oracle's stride-1 edge pick:
+    # thresholds must agree within one coarse step (~8 bins) or 15% rel.
+    rel = abs(ours_clip - oracle_clip) / oracle_clip
+    assert rel < 0.15 or abs(ours_clip - oracle_clip) <= 9 * width, (
+        dist, ours_clip, oracle_clip, rel
+    )
+    if dist == "gauss_outliers":
+        # both must clip the outlier tail hard
+        assert ours_clip < 0.5 * amax and oracle_clip < 0.5 * amax
