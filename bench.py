@@ -39,6 +39,45 @@ def main():
     ap.add_argument("--warmup", type=int, default=3)
     args = ap.parse_args()
 
+    # Relay watchdog: on the tunneled axon backend a wedged relay makes
+    # jax.devices() hang FOREVER for every process (NOTES_r2.md backend
+    # outage).  Probe device enumeration in a disposable subprocess first —
+    # a devices() probe never compiles, so timing it out is safe — and emit
+    # a parseable error record instead of hanging the driver.
+    import subprocess
+
+    try:
+        # the probe mirrors the package's platform resolution (honor an
+        # explicit JAX_PLATFORMS env even when sitecustomize pins the config)
+        subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import os, jax\n"
+                "if os.environ.get('JAX_PLATFORMS'):\n"
+                "    jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])\n"
+                "jax.devices()",
+            ],
+            timeout=300, check=True, capture_output=True,
+        )
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+        log(f"device probe failed: {type(e).__name__} — backend unavailable")
+        print(
+            json.dumps(
+                {
+                    "metric": f"bevformer_{args.model}_{args.dtype}"
+                    + ("" if args.quant == "none" else f"_{args.quant}")
+                    + "_fps",
+                    "value": 0.0,
+                    "unit": "frames/s",
+                    "vs_baseline": 0.0,
+                    "error": "backend unavailable: jax.devices() probe "
+                    "timed out/failed (axon relay outage, NOTES_r2.md)",
+                }
+            )
+        )
+        return
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")

@@ -166,6 +166,7 @@ class NuScenesFrames:
         img_norm: ImgNorm = IMG_NORM_CAFFE,
         target_hw: Optional[Tuple[int, int]] = None,
         with_gt: bool = True,
+        augment=None,  # MultiViewTrainAugment (data/transforms.py) or None
     ):
         with open(infos_path, "rb") as f:
             data = pickle.load(f)
@@ -176,6 +177,7 @@ class NuScenesFrames:
         self.img_norm = img_norm
         self.target_hw = target_hw
         self.with_gt = with_gt
+        self.augment = augment
 
     def __len__(self) -> int:
         return len(self.infos)
@@ -191,17 +193,35 @@ class NuScenesFrames:
     def frame(self, idx: int) -> Frame:
         info = self.infos[idx]
         cams = list(info["cams"].values())
+        raw = [
+            load_image(self._resolve(cam["data_path"])).astype(np.float32)
+            for cam in cams
+        ]
+        l2i_s = np.stack([lidar2img_from_cam_info(c) for c in cams]).astype(np.float32)
+        if self.augment is not None:
+            # train-pipeline augmentation (photometric / random scale) runs
+            # on raw float32 BGR, BEFORE normalize+pad — matching the
+            # reference pipeline order (bevformer_base.py:211-225).
+            raw, l2i_s = self.augment(raw, l2i_s)
         imgs = []
-        for cam in cams:
-            img = load_image(self._resolve(cam["data_path"]))
+        for img in raw:
             img = normalize_image(img, self.img_norm)
             img = pad_to_divisor(img)
             if self.target_hw is not None:
                 th, tw = self.target_hw
+                if img.shape[0] < th or img.shape[1] < tw:
+                    # augmentation downscale: zero-pad back up to the static
+                    # model input (bottom/right, like PadMultiViewImage)
+                    grown = np.zeros(
+                        (max(th, img.shape[0]), max(tw, img.shape[1]), img.shape[2]),
+                        img.dtype,
+                    )
+                    grown[: img.shape[0], : img.shape[1]] = img
+                    img = grown
                 img = img[:th, :tw]
             imgs.append(img.transpose(2, 0, 1))  # HWC -> CHW
         image = np.stack(imgs)[None]  # [1, cams, 3, H, W]
-        l2i = np.stack([lidar2img_from_cam_info(c) for c in cams])[None].astype(np.float32)
+        l2i = l2i_s[None]
         gt_boxes, gt_labels = extract_gt(info) if self.with_gt else (None, None)
         return Frame(
             sample_token=info["token"],

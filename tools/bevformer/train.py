@@ -39,6 +39,20 @@ def main():
     ap.add_argument("--save-every", type=int, default=1000)
     ap.add_argument("--log-every", type=int, default=10)
     ap.add_argument(
+        "--no-augment",
+        action="store_true",
+        help="disable the train-pipeline photometric augmentation "
+        "(reference PhotoMetricDistortionMultiViewImage, "
+        "bevformer_base.py:213, applied to regular training and QAT alike)",
+    )
+    ap.add_argument(
+        "--aug-scales",
+        type=float,
+        nargs="*",
+        default=None,
+        help="optional RandomScaleImageMultiViewImage scales (e.g. 0.8)",
+    )
+    ap.add_argument(
         "--distributed",
         action="store_true",
         help="multi-host: jax.distributed.initialize() (coordinator/process "
@@ -98,8 +112,19 @@ def main():
     cfg = getattr(cfgs, f"bevformer_{args.model}")(quant=qat, msda_impl="jnp")
     model = BEVFormer(cfg)
     norm = IMG_NORM_PYTORCH if args.model in ("tiny", "micro") else IMG_NORM_CAFFE
+    augment = None
+    if not args.no_augment:
+        from bevformer_tensorrt_tpu.data.transforms import (
+            MultiViewTrainAugment,
+            RandomScaleImage,
+        )
+
+        augment = MultiViewTrainAugment(
+            scale=RandomScaleImage(args.aug_scales) if args.aug_scales else None
+        )
     frames = NuScenesFrames(
-        args.infos, args.data_root, img_norm=norm, target_hw=(cfg.img_h, cfg.img_w)
+        args.infos, args.data_root, img_norm=norm, target_hw=(cfg.img_h, cfg.img_w),
+        augment=augment,
     )
 
     mesh = make_mesh()  # global devices; dp spans hosts (DCN), tp stays on ICI
