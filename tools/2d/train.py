@@ -37,6 +37,13 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--out", default="checkpoints/2d.msgpack")
     ap.add_argument("--log-every", type=int, default=10)
+    ap.add_argument(
+        "--no-augment",
+        action="store_true",
+        help="disable the train pipeline augmentation (YOLOX: mosaic/"
+        "affine/mixup/hsv/flip, reference yolox_x_8x8_300e_coco.py:33-52; "
+        "CenterNet: hsv/flip only)",
+    )
     args = ap.parse_args()
 
     import os
@@ -73,6 +80,16 @@ def main():
 
     ds = CocoDataset(args.ann, args.img_root, img_size=cfg.img_size)
     nc = cfg.num_classes
+    augment = None
+    if not args.no_augment:
+        from bevformer_tensorrt_tpu.data.transforms2d import YoloxTrainAugment
+
+        # CenterNet's reference pipeline has no mosaic/mixup — keep hsv+flip
+        augment = YoloxTrainAugment(
+            img_scale=cfg.img_size,
+            enable_mosaic=is_yolox,
+            enable_mixup=is_yolox,
+        )
 
     dummy = jnp.zeros((args.batch, 3, cfg.img_size, cfg.img_size), jnp.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), dummy)
@@ -120,13 +137,16 @@ def main():
             for s in range(0, len(idx) - args.batch + 1, args.batch):
                 imgs, gbs, gls = [], [], []
                 for i in idx[s : s + args.batch]:
-                    smp = ds.sample(int(i))
+                    # train_sample returns gt in MODEL-INPUT coordinates
+                    # (letterbox scale applied) — the loss matches against
+                    # input-space grid priors
+                    img, boxes, labels = ds.train_sample(int(i), augment)
                     gb = np.zeros((MAX_GT, 4), np.float32)
                     gl = np.full(MAX_GT, -1, np.int32)
-                    for k, ann in enumerate(smp.gt[:MAX_GT]):
-                        gb[k] = ann["bbox"]
-                        gl[k] = ann["category_id"]
-                    imgs.append(smp.image)
+                    n = min(len(boxes), MAX_GT)
+                    gb[:n] = boxes[:n]
+                    gl[:n] = labels[:n]
+                    imgs.append(img)
                     gbs.append(gb)
                     gls.append(gl)
                 yield {
