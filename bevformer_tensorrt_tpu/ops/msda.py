@@ -717,7 +717,12 @@ def _sorted_core(
     # self-attention ran 2x the visits for its 10.3 MB table).
     blk_bytes = table.shape[1] * table.shape[2] * 4
     panels_total = table.shape[2] // 128
-    n_splits = key_groups or max(1, -(-blk_bytes // 8_000_000))
+    # MSDA_KG: env override of the key-range split count (A/B harness)
+    n_splits = (
+        key_groups
+        or int(os.environ.get("MSDA_KG", "0"))
+        or max(1, -(-blk_bytes // 8_000_000))
+    )
     n_splits = min(n_splits, panels_total)
     nrows = 4 * ch // sub
     # union-sweep row group: as many points as fit the per-visit register
@@ -734,6 +739,12 @@ def _sorted_core(
             rg = d
     if row_group is not None:
         rg = row_group
+    elif os.environ.get("MSDA_RG"):
+        # env override of the union-sweep row group (A/B harness); clamped
+        # to a divisor of `rows` (the kernel requires rows % rg == 0)
+        rg = int(os.environ["MSDA_RG"])
+        while rows % rg:
+            rg -= 1
 
     lane, m4, pmin, pspan = _prep_taps_qminor(
         refT, offT, attnT, spatial_shapes, num_heads, level_base, row_group=rg,

@@ -33,9 +33,28 @@ def main():
     ap.add_argument("--out", default="/tmp/ab_kernel_layouts.jsonl")
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--model", default="base")
+    ap.add_argument(
+        "--set",
+        action="append",
+        default=[],
+        metavar="KEY=V1,V2",
+        help="sweep axis (repeatable): cross-product of the given env values "
+        "replaces the built-in CONFIGS, e.g. --set MSDA_QBB=1,8 "
+        "--set MSDA_RG=2,4 --set MSDA_KG=1,3",
+    )
     args = ap.parse_args()
 
-    for cfg in CONFIGS:
+    configs = CONFIGS
+    if args.set:
+        import itertools
+
+        axes = []
+        for spec in args.set:
+            k, vs = spec.split("=", 1)
+            axes.append([(k, v) for v in vs.split(",")])
+        configs = [dict(combo) for combo in itertools.product(*axes)]
+
+    for cfg in configs:
         env = dict(os.environ, **cfg)
         label = "_".join(f"{k.lower()}{v}" for k, v in cfg.items())
         print(f"=== {label} ===", file=sys.stderr, flush=True)
