@@ -29,6 +29,12 @@ def main():
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--ranks-pad", type=int, default=400000)
+    ap.add_argument("--quant-scales", default=None, help="PTQ scale-dict checkpoint")
+    ap.add_argument(
+        "--quant", default="qdq", choices=["qdq", "int8"],
+        help="with --quant-scales: 'qdq' simulates quantization (fake-quant), "
+        "'int8' runs real int8 matmuls/convs (reference bevdet evaluate_trt)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -49,7 +55,10 @@ def main():
     )
     from bevformer_tensorrt_tpu.runtime.checkpoint import load_checkpoint
 
-    cfg = bevdet_r50(dtype=args.dtype)
+    quant = False
+    if args.quant_scales:
+        quant = "int8" if args.quant == "int8" else True
+    cfg = bevdet_r50(dtype=args.dtype, quant=quant)
     model = BEVDet(cfg)
     frames = NuScenesFrames(
         args.infos, args.data_root, img_norm=IMG_NORM_PYTORCH,
@@ -75,6 +84,9 @@ def main():
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), dummy, rd, rf, rb)
     if args.checkpoint:
         variables = load_checkpoint(args.checkpoint, template=variables)
+    if args.quant_scales:
+        scales = load_checkpoint(args.quant_scales)
+        variables = {**variables, "quant": scales["quant"]}
 
     apply_fn = jax.jit(lambda v, img: model.apply(v, img, rd, rf, rb))
 
