@@ -122,6 +122,29 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     args = ap.parse_args()
 
+    # relay watchdog (same as bench.py): a wedged axon relay hangs
+    # jax.devices() forever; probe in a disposable subprocess (no compile,
+    # safe to time out) and emit a parseable error instead of hanging.
+    import os
+    import subprocess
+
+    try:
+        subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import os, jax\n"
+                "if os.environ.get('JAX_PLATFORMS'):\n"
+                "    jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])\n"
+                "jax.devices()",
+            ],
+            timeout=300, check=True, capture_output=True,
+        )
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+        print(f"device probe failed: {type(e).__name__}", file=sys.stderr)
+        print(json.dumps({"error": "backend unavailable (axon relay outage)"}))
+        return
+
     import jax
     import jax.numpy as jnp
 
