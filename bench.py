@@ -138,6 +138,12 @@ def main():
         flat = traverse_util.flatten_dict(quant_col)
         flat = {p[:-1] + ("scale",): v for p, v in flat.items()}
         variables = {**variables, "quant": traverse_util.unflatten_dict(flat)}
+        if args.quant == "int8":
+            # deploy path: fold per-channel int8 weights once (the layers
+            # otherwise re-quantize the fp kernel every forward)
+            from bevformer_tensorrt_tpu.quant.fold import fold_int8_weights
+
+            variables = fold_int8_weights(variables)
         log(f"calibration (max, 1 batch): {time.perf_counter() - t0:.1f}s")
 
     def make_apply():

@@ -75,21 +75,29 @@ class QDense(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, q_minor: bool = False):
+    def __call__(self, x, q_minor: bool | str = False):
         """q_minor=True contracts the SECOND-minor axis of x and emits the
         output features second-minor: x [..., f_in, q] -> y [..., f_out, q].
         The feature axis becomes part of the matmul instead of a separate
         relayout — on TPU, producing attention offsets/weights/values in the
         kernel-friendly query-minor layout this way is free, while
         transposing the q-major dense output costs a full HBM round trip.
-        Parameters are identical in both orientations (kernel [f_in, f_out]).
+        q_minor='out' takes q-MAJOR input and emits q-minor output
+        (x [..., q, f_in] -> y [..., f_out, q]): one dot_general, so callers
+        skip materializing the transposed INPUT too (the temporal/cross
+        attention value and query-cat tensors).  Parameters are identical in
+        all orientations (kernel [f_in, f_out]).
         """
-        f_in = x.shape[-2] if q_minor else x.shape[-1]
+        f_in = x.shape[-1] if q_minor == "out" else (
+            x.shape[-2] if q_minor else x.shape[-1]
+        )
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (f_in, self.features), jnp.float32
         )
 
         def mm(xv, kv, **kw):
+            if q_minor == "out":
+                return jnp.einsum("fo,...qf->...oq", kv, xv, **kw)
             if q_minor:
                 return jnp.einsum("fo,...fq->...oq", kv, xv, **kw)
             return jax.lax.dot_general(

@@ -107,22 +107,22 @@ class TemporalSelfAttention(nn.Module):
             query = query + query_pos
 
         if msda_impl_is_sorted(self.msda_impl):
-            # q-minor dataflow (see MSDeformableAttention3D): value and qcat
-            # transposed once; projections emit query-minor for free; the
-            # sorted op's internal relayouts disappear.
+            # q-minor dataflow (see MSDeformableAttention3D): projections
+            # consume the q-MAJOR value/qcat directly and emit query-minor
+            # (QDense q_minor='out' — the orientation folds into the
+            # dot_general), so no transposed copy of value or qcat ever
+            # materializes and the sorted op's internal relayouts disappear.
             packed = msda_packing(self.msda_impl, self.quant)
-            value_T = value.transpose(0, 2, 1)  # [Q, C, nq]
             v_t = QDense(C, quant=self.quant, name="value_proj")(
-                value_T, q_minor=True
-            )
-            q_t = query.transpose(0, 2, 1)      # [1, C, nq]
-            qcat_t = jnp.concatenate([value_T[0:1], q_t], axis=1)  # [1, 2C, nq]
+                value, q_minor="out"
+            )  # [Q, C, nq]
+            qcat = jnp.concatenate([value[0:1], query], axis=-1)  # [1, nq, 2C]
             off_t = QDense(
                 Q * H * L * P * 2, quant=self.quant, name="sampling_offsets"
-            )(qcat_t, q_minor=True)
+            )(qcat, q_minor="out")
             attn_t = QDense(
                 Q * H * L * P, quant=self.quant, name="attention_weights"
-            )(qcat_t, q_minor=True)
+            )(qcat, q_minor="out")
             # feature order (H, Q, L*P*2) -> queue folded into batch
             off_t = off_t.reshape(H, Q, L * P * 2, nq).transpose(1, 0, 2, 3)
             attn_t = attn_t.reshape(H, Q, L * P, nq).transpose(1, 0, 2, 3)
@@ -191,7 +191,6 @@ class MSDeformableAttention3D(nn.Module):
         bev_mask,              # [num_cams, Nq, 1] normalized weights
         spatial_shapes: Tuple[Tuple[int, int], ...],
         compaction=None,       # optional (topi [cams,K], topv [cams,K], ref_c)
-        value_t=None,          # optional [num_cams, C, num_keys] (q-minor path)
     ):
         C, H = self.embed_dims, self.num_heads
         cams, nq = reference_points_cam.shape[:2]
@@ -212,25 +211,25 @@ class MSDeformableAttention3D(nn.Module):
                 # border key) so kernel rows stay panel-local (see encoder)
                 ref_c = jnp.where((topv > 0).reshape(cams, K, 1, 1), ref_c, 2.0)
 
-            if value_t is not None and msda_impl_is_sorted(self.msda_impl):
-                # q-minor dataflow: the per-camera compacted query is the
-                # ONLY relayout — value_proj consumes the frame-constant
-                # channel-minor value, and the offset/weight projections emit
-                # query-minor directly (the transpose folds into the matmul),
-                # so none of the q-major path's large gathers/relayouts
-                # (off[topi], attn[topi], prep transposes) materialize.
+            if msda_impl_is_sorted(self.msda_impl):
+                # q-minor dataflow: the per-camera compacted query gather is
+                # the ONLY data movement — value_proj and the offset/weight
+                # projections consume q-MAJOR inputs and emit query-minor
+                # (QDense q_minor='out', orientation folded into the
+                # dot_general), so none of the q-major path's large
+                # gathers/relayouts (off[topi], attn[topi], value/query
+                # transposes) materialize.
                 packed = msda_packing(self.msda_impl, self.quant)
                 v_t = QDense(C, quant=self.quant, name="value_proj")(
-                    value_t, q_minor=True
+                    value, q_minor="out"
                 )  # [cams, C, keys]
                 q_c = query[0][topi]                 # [cams, K, C]
-                q_ct = q_c.transpose(0, 2, 1)        # [cams, C, K]
                 off_t = QDense(
                     H * L * P * 2, quant=self.quant, name="sampling_offsets"
-                )(q_ct, q_minor=True)                # [cams, H*L*P*2, K]
+                )(q_c, q_minor="out")                # [cams, H*L*P*2, K]
                 attn_t = QDense(
                     H * L * P, quant=self.quant, name="attention_weights"
-                )(q_ct, q_minor=True)                # [cams, H*L*P, K]
+                )(q_c, q_minor="out")                # [cams, H*L*P, K]
                 ref_t = ref_c.reshape(cams, K, ppg, 2).transpose(0, 2, 3, 1)
                 out_k = multi_scale_deformable_attn_sorted_qm(
                     v_t, ref_t, off_t, attn_t, spatial_shapes, num_heads=H,
@@ -302,7 +301,6 @@ class SpatialCrossAttention(nn.Module):
         bev_mask,              # [num_cams, Nq, 1] normalized weights
         spatial_shapes: Tuple[Tuple[int, int], ...],
         compaction=None,
-        value_t=None,          # [num_cams, C, num_keys] q-minor value
     ):
         inp_residual = query if identity is None else identity
         if query_pos is not None:
@@ -319,7 +317,7 @@ class SpatialCrossAttention(nn.Module):
             name="deformable_attention",
         )(
             query, value, reference_points_cam, bev_mask, spatial_shapes,
-            compaction, value_t,
+            compaction,
         )
 
         slots = QDense(self.embed_dims, quant=self.quant, name="output_proj")(slots)

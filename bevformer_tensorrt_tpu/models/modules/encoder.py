@@ -108,7 +108,6 @@ class BEVFormerLayer(nn.Module):
         spatial_shapes: Tuple[Tuple[int, int], ...],
         prev_bev,              # [2, nq, C] (already muxed with use_prev_bev)
         compaction=None,       # frame-invariant (topi, topv, ref_c)
-        value_t=None,          # [cams, C, keys] q-minor value (frame const)
     ):
         cfg = self.cfg
         identity = query
@@ -154,7 +153,6 @@ class BEVFormerLayer(nn.Module):
             bev_mask,
             spatial_shapes,
             compaction,
-            value_t,
         )
         query = nn.LayerNorm(name="norm2")(query).astype(dt)
         query = FFN(cfg.embed_dims, cfg.ffn_dims, quant=cfg.quant, name="ffn")(query)
@@ -235,17 +233,6 @@ class BEVFormerEncoder(nn.Module):
             )
             compaction = (topi, topv, ref_c)
 
-        # q-minor (channel-minor) copy of the frame-constant camera value for
-        # the sorted kernel's table build + q-minor value_proj: ONE transpose
-        # per frame instead of one per layer inside every cross-attention.
-        from .attention import msda_impl_is_sorted
-
-        value_t = (
-            value.transpose(0, 2, 1)
-            if msda_impl_is_sorted(cfg.msda_impl)
-            else None
-        )
-
         # sequence parallelism over the BEV-query axis (SURVEY §2.6 TPU-native
         # column): under an ambient mesh the 40k-query tensors split over tp;
         # identity with no mesh (single chip, CPU tests).
@@ -267,7 +254,6 @@ class BEVFormerEncoder(nn.Module):
                 spatial_shapes,
                 layer_prev,
                 compaction,
-                value_t,
             )
             output = shard_bev_queries(output)
         return output
