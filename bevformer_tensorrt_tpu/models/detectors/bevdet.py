@@ -50,11 +50,14 @@ class BEVDet(nn.Module):
     cfg: BEVDetConfig
 
     @nn.compact
-    def __call__(self, image, ranks_depth, ranks_feat, ranks_bev) -> Dict[str, jax.Array]:
+    def __call__(self, image, ranks_depth, ranks_feat, ranks_bev,
+                 interval_starts=None, interval_lengths=None) -> Dict[str, jax.Array]:
         """
         Args:
           image: [1, cams, 3, H, W] normalized input (reference binding layout).
           ranks_*: [P] int32 precomputed pooling ranks (static P, -1 pad).
+          interval_*: optional [I] int32 segment boundaries — selects the
+            TPU interval splat in bev_pool (ops/bev_pool.py impl='interval').
         Returns:
           CenterHead output maps dict (NHWC).
         """
@@ -75,7 +78,7 @@ class BEVDet(nn.Module):
         x = CustomFPN(out_channels=cfg.neck_out_channels, quant=cfg.quant, name="img_neck")(feats)
 
         bev = LSSViewTransformer(cfg, name="img_view_transformer")(
-            x, ranks_depth, ranks_feat, ranks_bev
+            x, ranks_depth, ranks_feat, ranks_bev, interval_starts, interval_lengths
         )  # [1, bev_h, bev_w, C_view]
         bev = bev.astype(dtype)
 

@@ -83,7 +83,10 @@ class PoolingRanks:
     interval_lengths: np.ndarray
 
 
-def voxel_pooling_prepare(cfg: BEVDetConfig, coor: np.ndarray, pad_to: Optional[int] = None) -> PoolingRanks:
+def voxel_pooling_prepare(
+    cfg: BEVDetConfig, coor: np.ndarray, pad_to: Optional[int] = None,
+    pad_intervals_to: Optional[int] = None,
+) -> PoolingRanks:
     """coor [N, D, Hf, Wf, 3] -> sorted rank tensors
     (view_transformer.py:239-330).  `pad_to` pads with rank -1 so the jit
     input shape is static across rigs (the reference bakes one sample's
@@ -128,12 +131,23 @@ def voxel_pooling_prepare(cfg: BEVDetConfig, coor: np.ndarray, pad_to: Optional[
         out[: len(x)] = x
         return out
 
+    if pad_intervals_to is not None:
+        if len(interval_starts) > pad_intervals_to:
+            raise ValueError(
+                f"voxel_pooling_prepare: {len(interval_starts)} occupied BEV "
+                f"cells exceed pad_intervals_to={pad_intervals_to}"
+            )
+        s = np.zeros(pad_intervals_to, np.int32)
+        l = np.zeros(pad_intervals_to, np.int32)
+        s[: len(interval_starts)] = interval_starts
+        l[: len(interval_lengths)] = interval_lengths
+        interval_starts, interval_lengths = s, l
     return PoolingRanks(
         ranks_depth=pad(ranks_depth),
         ranks_feat=pad(ranks_feat),
         ranks_bev=pad(ranks_bev),
-        interval_starts=interval_starts,
-        interval_lengths=interval_lengths,
+        interval_starts=interval_starts.astype(np.int32),
+        interval_lengths=interval_lengths.astype(np.int32),
     )
 
 
@@ -143,9 +157,11 @@ class LSSViewTransformer(nn.Module):
     cfg: BEVDetConfig
 
     @nn.compact
-    def __call__(self, x, ranks_depth, ranks_feat, ranks_bev):
+    def __call__(self, x, ranks_depth, ranks_feat, ranks_bev,
+                 interval_starts=None, interval_lengths=None):
         """x: [N_cams, Hf, Wf, C_in] NHWC image features.
-        Returns [1, bev_h, bev_w, view_channels]."""
+        Returns [1, bev_h, bev_w, view_channels].  With interval_* given,
+        uses the TPU interval (cumsum) splat — see ops/bev_pool.py."""
         cfg = self.cfg
         D, C = cfg.depth_bins, cfg.view_channels
         out = QConv(D + C, (1, 1), padding=0, quant=cfg.quant, name="depth_net")(x)
@@ -160,6 +176,9 @@ class LSSViewTransformer(nn.Module):
             ranks_depth,
             ranks_feat,
             ranks_bev,
+            interval_starts,
+            interval_lengths,
             out_height=cfg.bev_h,
             out_width=cfg.bev_w,
+            impl="scatter" if interval_starts is None else "interval",
         )

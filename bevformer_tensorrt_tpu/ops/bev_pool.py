@@ -22,7 +22,9 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=("out_height", "out_width"))
+@functools.partial(
+    jax.jit, static_argnames=("out_height", "out_width", "impl")
+)
 def bev_pool_v2(
     depth: jax.Array,
     feat: jax.Array,
@@ -33,6 +35,7 @@ def bev_pool_v2(
     interval_lengths: jax.Array = None,
     out_height: int = 128,
     out_width: int = 128,
+    impl: str = "scatter",
 ) -> jax.Array:
     """LSS splat.
 
@@ -40,13 +43,21 @@ def bev_pool_v2(
       depth: [N, D, H, W] per-camera depth distributions.
       feat:  [N, H, W, C] per-camera image features.
       ranks_depth/ranks_feat: [P] int32 flat indices into depth/feat.
-      ranks_bev: [P] int32 flat BEV cell index in [0, out_h*out_w); -1 = pad.
-      interval_starts/lengths: accepted for parity; unused by the
-        scatter-add formulation (see module docstring).
+      ranks_bev: [P] int32 flat BEV cell index in [0, out_h*out_w); -1 = pad,
+        SORTED ascending over the valid prefix (voxel_pooling_prepare).
+      interval_starts/lengths: [I] int32 segment boundaries over the sorted
+        ranks (pad intervals: length 0).  Required for impl='interval'.
+      impl: 'scatter' — P-row scatter-add (any rank order; the XLA scatter
+        unit serializes on duplicate cells).  'interval' — cumsum over the
+        sorted contributions + boundary differences per interval + ONE
+        unique-cell scatter of I<=cells rows: trades the 400k-row
+        accumulating scatter for a log-depth scan, the TPU-friendly form
+        of the CUDA kernel's one-thread-block-per-interval walk
+        (bevPoolKernel.cu:20-150).  f32 cumsum; boundary differences keep
+        ~1e-6 relative error on realistic magnitudes (tested).
     Returns:
       [1, out_height, out_width, C] pooled BEV features.
     """
-    del interval_starts, interval_lengths
     C = feat.shape[-1]
     cdtype = jnp.float32
     d_flat = depth.astype(cdtype).reshape(-1)
@@ -55,12 +66,33 @@ def bev_pool_v2(
     valid = ranks_bev >= 0
     rd = jnp.where(valid, ranks_depth, 0)
     rf = jnp.where(valid, ranks_feat, 0)
-    rb = jnp.where(valid, ranks_bev, out_height * out_width)  # pad bucket
 
     contrib = d_flat[rd][:, None] * f_flat[rf]
     contrib = jnp.where(valid[:, None], contrib, 0.0)
+    cells = out_height * out_width
 
-    out = jnp.zeros((out_height * out_width + 1, C), cdtype)
+    if impl == "interval":
+        assert interval_starts is not None and interval_lengths is not None
+        P = ranks_bev.shape[0]
+        csum = jnp.cumsum(contrib, axis=0)  # [P, C]
+        starts = interval_starts.astype(jnp.int32)
+        lens = interval_lengths.astype(jnp.int32)
+        live = lens > 0
+        ends = jnp.clip(starts + lens - 1, 0, P - 1)
+        hi = csum[ends]
+        lo = jnp.where(
+            (starts > 0)[:, None], csum[jnp.clip(starts - 1, 0, P - 1)], 0.0
+        )
+        seg = jnp.where(live[:, None], hi - lo, 0.0)  # [I, C]
+        cell = jnp.where(
+            live, ranks_bev[jnp.clip(starts, 0, P - 1)], cells
+        )  # live cells are unique; pads share the dropped bucket
+        out = jnp.zeros((cells + 1, C), cdtype)
+        out = out.at[cell].add(seg, mode="drop")
+        return out[:-1].reshape(1, out_height, out_width, C).astype(feat.dtype)
+
+    rb = jnp.where(valid, ranks_bev, cells)  # pad bucket
+    out = jnp.zeros((cells + 1, C), cdtype)
     out = out.at[rb].add(contrib, mode="drop")
     out = out[:-1].reshape(1, out_height, out_width, C)
     return out.astype(feat.dtype)

@@ -91,6 +91,41 @@ def test_bev_pool_v2(rng):
     assert _mad(ours.reshape(-1, C), expected) < 1e-6
 
 
+def test_bev_pool_v2_interval_matches_scatter(rng):
+    """impl='interval' (cumsum + boundary differences + unique-cell scatter,
+    the TPU form) must match the scatter-add reference to f32 cumsum
+    precision, including pad intervals and the -1 rank tail."""
+    N, D, H, W, C = 4, 8, 12, 20, 16
+    out_h, out_w = 32, 32
+    P = 20000
+    depth = rng.random((N, D, H, W)).astype(np.float32)
+    feat = rng.standard_normal((N, H, W, C)).astype(np.float32)
+    ranks_depth = rng.integers(0, N * D * H * W, P).astype(np.int32)
+    ranks_feat = rng.integers(0, N * H * W, P).astype(np.int32)
+    ranks_bev = np.sort(rng.integers(0, out_h * out_w, P)).astype(np.int32)
+    ranks_bev[-500:] = -1  # padded tail (valid prefix stays sorted)
+
+    valid = ranks_bev >= 0
+    rbv = ranks_bev[valid.nonzero()[0]]
+    first = np.ones(len(rbv), bool)
+    first[1:] = rbv[1:] != rbv[:-1]
+    starts = np.flatnonzero(first).astype(np.int32)
+    lengths = np.diff(np.append(starts, len(rbv))).astype(np.int32)
+    I_pad = out_h * out_w  # static interval pad, like voxel_pooling_prepare
+    s = np.zeros(I_pad, np.int32)
+    l = np.zeros(I_pad, np.int32)
+    s[: len(starts)] = starts
+    l[: len(lengths)] = lengths
+
+    a = np.asarray(bev_pool_v2(depth, feat, ranks_depth, ranks_feat, ranks_bev,
+                               out_height=out_h, out_width=out_w))
+    b = np.asarray(bev_pool_v2(depth, feat, ranks_depth, ranks_feat, ranks_bev,
+                               s, l, out_height=out_h, out_width=out_w,
+                               impl="interval"))
+    rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
+    assert rel < 1e-5, rel
+
+
 # ------------------------------------------------------------------- qkv ---
 def test_qkv(rng):
     B, qlen, kvlen, dim = 3, 17, 29, 32

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -82,12 +83,23 @@ def bench_bevdet(dtype):
     intr = np.stack(
         [np.array([[800.0, 0, cfg.input_w / 2], [0, 800.0, cfg.input_h / 2], [0, 0, 1]], np.float32)] * N
     )
-    ranks = voxel_pooling_prepare(cfg, get_lidar_coor(cfg, s2e, intr), pad_to=400000)
+    # BEVPOOL_IMPL=interval selects the cumsum interval splat for A/B
+    # (ops/bev_pool.py impl='interval'); default scatter.
+    use_iv = os.environ.get("BEVPOOL_IMPL", "scatter") == "interval"
+    gz = int(round((cfg.grid_zbound[1] - cfg.grid_zbound[0]) / cfg.grid_zbound[2]))
+    ranks = voxel_pooling_prepare(
+        cfg, get_lidar_coor(cfg, s2e, intr), pad_to=400000,
+        pad_intervals_to=cfg.bev_h * cfg.bev_w * gz if use_iv else None,
+    )
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.standard_normal((1, N, 3, cfg.input_h, cfg.input_w)), jnp.float32)
     rd, rf, rb = map(jnp.asarray, (ranks.ranks_depth, ranks.ranks_feat, ranks.ranks_bev))
-    v = jax.jit(model.init)(jax.random.PRNGKey(0), img, rd, rf, rb)
-    fn = jax.jit(lambda v, img: model.apply(v, img, rd, rf, rb))
+    iv = (
+        (jnp.asarray(ranks.interval_starts), jnp.asarray(ranks.interval_lengths))
+        if use_iv else (None, None)
+    )
+    v = jax.jit(model.init)(jax.random.PRNGKey(0), img, rd, rf, rb, *iv)
+    fn = jax.jit(lambda v, img: model.apply(v, img, rd, rf, rb, *iv))
     dt = timeit(fn, v, img)
     return 1.0 / dt, 1
 

@@ -29,6 +29,11 @@ def main():
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--ranks-pad", type=int, default=400000)
+    ap.add_argument(
+        "--pool-impl", default="scatter", choices=["scatter", "interval"],
+        help="bev_pool formulation (ops/bev_pool.py): 'interval' = cumsum "
+        "splat over sorted ranks (TPU-friendly)",
+    )
     ap.add_argument("--quant-scales", default=None, help="PTQ scale-dict checkpoint")
     ap.add_argument(
         "--quant", default="qdq", choices=["qdq", "int8"],
@@ -77,18 +82,27 @@ def main():
     ]).astype(np.float32)
     intr = np.stack([np.asarray(c["cam_intrinsic"], np.float32) for c in cams])
     coor = get_lidar_coor(cfg, s2e, intr)
-    ranks = voxel_pooling_prepare(cfg, coor, pad_to=args.ranks_pad)
+    use_iv = args.pool_impl == "interval"
+    gz = int(round((cfg.grid_zbound[1] - cfg.grid_zbound[0]) / cfg.grid_zbound[2]))
+    ranks = voxel_pooling_prepare(
+        cfg, coor, pad_to=args.ranks_pad,
+        pad_intervals_to=cfg.bev_h * cfg.bev_w * gz if use_iv else None,
+    )
     rd, rf, rb = (jnp.asarray(ranks.ranks_depth), jnp.asarray(ranks.ranks_feat), jnp.asarray(ranks.ranks_bev))
+    iv = (
+        (jnp.asarray(ranks.interval_starts), jnp.asarray(ranks.interval_lengths))
+        if use_iv else (None, None)
+    )
 
     dummy = jnp.zeros((1, cfg.num_cams, 3, cfg.input_h, cfg.input_w), jnp.float32)
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), dummy, rd, rf, rb)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), dummy, rd, rf, rb, *iv)
     if args.checkpoint:
         variables = load_checkpoint(args.checkpoint, template=variables)
     if args.quant_scales:
         scales = load_checkpoint(args.quant_scales)
         variables = {**variables, "quant": scales["quant"]}
 
-    apply_fn = jax.jit(lambda v, img: model.apply(v, img, rd, rf, rb))
+    apply_fn = jax.jit(lambda v, img: model.apply(v, img, rd, rf, rb, *iv))
 
     gt_all, pred_all = [], []
     lat = []
