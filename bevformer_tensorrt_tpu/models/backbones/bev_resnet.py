@@ -36,11 +36,14 @@ class BasicBlock(nn.Module):
         out = QConv(self.planes, (3, 3), padding=1, use_bias=False, quant=self.quant, name="conv2")(out)
         out = FrozenBN(name="bn2")(out)
         if self.stride != 1 or x.shape[-1] != self.planes:
+            # the reference's CustomResNet downsample is a bare 3x3 conv
+            # WITH bias and NO norm (bev_resnet.py:63-71: nn.Conv2d(curr,
+            # out, 3, stride, 1) passed as BasicBlock.downsample) — match
+            # it exactly so its checkpoints import weight-for-weight.
             identity = QConv(
-                self.planes, (1, 1), (self.stride, self.stride), padding=0,
-                use_bias=False, quant=self.quant, name="downsample_conv",
+                self.planes, (3, 3), (self.stride, self.stride), padding=1,
+                use_bias=True, quant=self.quant, name="downsample_conv",
             )(x)
-            identity = FrozenBN(name="downsample_bn")(identity)
         else:
             identity = x
         return nn.relu(out + identity)
@@ -69,9 +72,31 @@ class CustomResNet(nn.Module):
 
 
 def upsample_bilinear(x, scale: int):
-    """Bilinear align_corners=True upsample (FPN_LSS's nn.Upsample)."""
+    """Bilinear align_corners=True upsample (FPN_LSS's nn.Upsample,
+    lss_fpn.py:26-28).  jax.image.resize implements half-pixel centers
+    (align_corners=False) — measured 0.78 max divergence on a toy ramp —
+    so sample the corner-aligned grid explicitly: src = dst*(in-1)/(out-1).
+    """
     n, h, w, c = x.shape
-    return jax.image.resize(x, (n, h * scale, w * scale, c), method="linear")
+    oh, ow = h * scale, w * scale
+
+    def axis_weights(out_n, in_n):
+        if in_n == 1:
+            lo = jnp.zeros(out_n, jnp.int32)
+            return lo, lo, jnp.zeros(out_n, x.dtype)
+        src = jnp.arange(out_n, dtype=jnp.float32) * ((in_n - 1) / (out_n - 1))
+        lo = jnp.clip(jnp.floor(src), 0, in_n - 1).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, in_n - 1)
+        return lo, hi, (src - lo.astype(jnp.float32)).astype(x.dtype)
+
+    y0, y1, wy = axis_weights(oh, h)
+    x0, x1, wx = axis_weights(ow, w)
+    top = x[:, y0]
+    bot = x[:, y1]
+    rows = top * (1 - wy)[None, :, None, None] + bot * wy[None, :, None, None]
+    left = rows[:, :, x0]
+    right = rows[:, :, x1]
+    return left * (1 - wx)[None, None, :, None] + right * wx[None, None, :, None]
 
 
 class FPN_LSS(nn.Module):

@@ -35,10 +35,13 @@ class SeparateBranch(nn.Module):
         x = QConv(self.mid_ch, (3, 3), padding=1, use_bias=False, quant=self.quant, name="conv1")(x)
         x = FrozenBN(name="bn1")(x)
         x = nn.relu(x)
-        x = QConv(self.out_ch, (3, 3), padding=1, quant=self.quant, name="conv2")(x)
-        if self.final_bias:
-            x = x + self.final_bias
-        return x
+        # final_bias is the conv bias INITIALIZER (SeparateHead init_bias
+        # -2.19 on the heatmap, centerpoint_head.py:95-100) — adding it at
+        # runtime instead would double it under imported checkpoints.
+        return QConv(
+            self.out_ch, (3, 3), padding=1, quant=self.quant, name="conv2",
+            bias_init=nn.initializers.constant(self.final_bias),
+        )(x)
 
 
 class CenterHead(nn.Module):

@@ -9,7 +9,7 @@ collections (see quant/qdq.py for the mode rules).
 """
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -152,6 +152,7 @@ class QConv(nn.Module):
     feature_group_count: int = 1
     quant: bool | str = False
     dtype: Optional[jnp.dtype] = None
+    bias_init: Any = nn.initializers.zeros
 
     @nn.compact
     def __call__(self, x):
@@ -190,7 +191,7 @@ class QConv(nn.Module):
                 )
                 y = acc.astype(jnp.float32) * (s_in * w_scale)
                 if self.use_bias:
-                    bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+                    bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
                     y = y + bias
                 return y.astype(x.dtype)
             x = x_scaled
@@ -205,7 +206,7 @@ class QConv(nn.Module):
             feature_group_count=self.feature_group_count,
         )
         if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
             y = y + bias.astype(dtype)
         return y
 

@@ -47,28 +47,19 @@ def _bn(sd, key):
     return p, s
 
 
-def import_bevformer_checkpoint(
-    state_dict: Dict[str, Any],
-    depth: int = 101,
-    encoder_layers: int = 6,
-    decoder_layers: int = 6,
-    dcn_stages=(False, False, True, True),
-) -> Dict[str, Any]:
-    """Returns {"params": ..., "batch_stats": ...} for models.detectors.BEVFormer."""
-    sd = {k.replace("module.", ""): v for k, v in state_dict.items()}
-    params: Dict[str, Any] = {}
-    stats: Dict[str, Any] = {}
+def _import_resnet(sd, prefix: str, depth: int, dcn_stages=(False,) * 4):
+    """mmcv ResNet state_dict slice ({prefix}.conv1/bn1/layer{1..4}) ->
+    (params, batch_stats) for models.backbones.resnet.ResNet."""
+    from ..models.backbones.resnet import BASIC_DEPTHS, STAGE_BLOCKS
 
-    # ---- backbone -------------------------------------------------------
+    basic = depth in BASIC_DEPTHS
     bp: Dict[str, Any] = {}
     bs_: Dict[str, Any] = {}
-    bp["stem_conv"] = _conv(sd, "img_backbone.conv1")
-    bp["stem_bn"], bs_["stem_bn"] = _bn(sd, "img_backbone.bn1")
-    from ..models.backbones.resnet import STAGE_BLOCKS
-
+    bp["stem_conv"] = _conv(sd, f"{prefix}.conv1")
+    bp["stem_bn"], bs_["stem_bn"] = _bn(sd, f"{prefix}.bn1")
     for stage in range(4):
         for b in range(STAGE_BLOCKS[depth][stage]):
-            src = f"img_backbone.layer{stage + 1}.{b}"
+            src = f"{prefix}.layer{stage + 1}.{b}"
             dst = f"stage{stage}_block{b}"
             p: Dict[str, Any] = {}
             s: Dict[str, Any] = {}
@@ -83,13 +74,31 @@ def import_bevformer_checkpoint(
             else:
                 p["conv2"] = _conv(sd, f"{src}.conv2")
             p["bn2"], s["bn2"] = _bn(sd, f"{src}.bn2")
-            p["conv3"] = _conv(sd, f"{src}.conv3")
-            p["bn3"], s["bn3"] = _bn(sd, f"{src}.bn3")
+            if not basic:
+                p["conv3"] = _conv(sd, f"{src}.conv3")
+                p["bn3"], s["bn3"] = _bn(sd, f"{src}.bn3")
             if f"{src}.downsample.0.weight" in sd:
                 p["downsample_conv"] = _conv(sd, f"{src}.downsample.0")
                 p["downsample_bn"], s["downsample_bn"] = _bn(sd, f"{src}.downsample.1")
             bp[dst] = p
             bs_[dst] = s
+    return bp, bs_
+
+
+def import_bevformer_checkpoint(
+    state_dict: Dict[str, Any],
+    depth: int = 101,
+    encoder_layers: int = 6,
+    decoder_layers: int = 6,
+    dcn_stages=(False, False, True, True),
+) -> Dict[str, Any]:
+    """Returns {"params": ..., "batch_stats": ...} for models.detectors.BEVFormer."""
+    sd = {k.replace("module.", ""): v for k, v in state_dict.items()}
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    # ---- backbone -------------------------------------------------------
+    bp, bs_ = _import_resnet(sd, "img_backbone", depth, dcn_stages)
     params["img_backbone"] = bp
     stats["img_backbone"] = bs_
 
@@ -207,6 +216,103 @@ def import_bevformer_checkpoint(
     return {"params": params, "batch_stats": stats}
 
 
+def import_bevdet_checkpoint(
+    state_dict: Dict[str, Any],
+    depth: int = 50,
+    bev_stages: int = 3,
+    bev_blocks: int = 2,
+) -> Dict[str, Any]:
+    """Reference BEVDet (third_party/bev_mmdet3d, configs/bevdet/
+    bevdet-r50-cbgs.py) state_dict -> {"params", "batch_stats"} for
+    models.detectors.BEVDet.
+
+    Key map (reference module -> flax):
+      img_backbone.{conv1,bn1,layer*}         -> img_backbone (mmcv ResNet)
+      img_neck.lateral_convs.{i}.conv         -> img_neck.lateral{i}
+      img_neck.fpn_convs.0.conv               -> img_neck.fpn0
+      img_view_transformer.depth_net          -> img_view_transformer.depth_net
+                                                 (bare nn.Conv2d, view_transformer.py:59)
+      img_bev_encoder_backbone.layers.{s}.{b} -> stage{s}_block{b}
+                                                 (CustomResNet BasicBlocks,
+                                                 bev_resnet.py:59-83; downsample
+                                                 is a bare 3x3 conv with bias)
+      img_bev_encoder_neck.conv.{0,1,3,4}     -> conv1/bn1/conv2/bn2
+      img_bev_encoder_neck.up2.{1,2,4}        -> up_conv/up_bn/out_conv
+                                                 (FPN_LSS, lss_fpn.py:49-85)
+      pts_bbox_head.shared_conv.{conv,bn}     -> shared_conv/shared_bn
+      pts_bbox_head.task_heads.0.{h}.{0,1}    -> {h}.{conv1+bn1, conv2}
+                                                 (SeparateHead final_kernel=3,
+                                                 centerpoint_head.py:19-100)
+    """
+    sd = {k.replace("module.", ""): v for k, v in state_dict.items()}
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    bp, bs_ = _import_resnet(sd, "img_backbone", depth)
+    params["img_backbone"] = bp
+    stats["img_backbone"] = bs_
+
+    neck: Dict[str, Any] = {}
+    i = 0
+    while f"img_neck.lateral_convs.{i}.conv.weight" in sd:
+        neck[f"lateral{i}"] = _conv(sd, f"img_neck.lateral_convs.{i}.conv")
+        i += 1
+    neck["fpn0"] = _conv(sd, "img_neck.fpn_convs.0.conv")
+    params["img_neck"] = neck
+
+    params["img_view_transformer"] = {
+        "depth_net": _conv(sd, "img_view_transformer.depth_net")
+    }
+
+    enc: Dict[str, Any] = {}
+    es: Dict[str, Any] = {}
+    for s in range(bev_stages):
+        for b in range(bev_blocks):
+            src = f"img_bev_encoder_backbone.layers.{s}.{b}"
+            p: Dict[str, Any] = {}
+            st: Dict[str, Any] = {}
+            p["conv1"] = _conv(sd, f"{src}.conv1")
+            p["bn1"], st["bn1"] = _bn(sd, f"{src}.bn1")
+            p["conv2"] = _conv(sd, f"{src}.conv2")
+            p["bn2"], st["bn2"] = _bn(sd, f"{src}.bn2")
+            if f"{src}.downsample.weight" in sd:
+                p["downsample_conv"] = _conv(sd, f"{src}.downsample")
+            enc[f"stage{s}_block{b}"] = p
+            es[f"stage{s}_block{b}"] = st
+    params["img_bev_encoder_backbone"] = enc
+    stats["img_bev_encoder_backbone"] = es
+
+    nk: Dict[str, Any] = {}
+    ns: Dict[str, Any] = {}
+    nk["conv1"] = _conv(sd, "img_bev_encoder_neck.conv.0")
+    nk["bn1"], ns["bn1"] = _bn(sd, "img_bev_encoder_neck.conv.1")
+    nk["conv2"] = _conv(sd, "img_bev_encoder_neck.conv.3")
+    nk["bn2"], ns["bn2"] = _bn(sd, "img_bev_encoder_neck.conv.4")
+    nk["up_conv"] = _conv(sd, "img_bev_encoder_neck.up2.1")
+    nk["up_bn"], ns["up_bn"] = _bn(sd, "img_bev_encoder_neck.up2.2")
+    nk["out_conv"] = _conv(sd, "img_bev_encoder_neck.up2.4")
+    params["img_bev_encoder_neck"] = nk
+    stats["img_bev_encoder_neck"] = ns
+
+    hd: Dict[str, Any] = {}
+    hs: Dict[str, Any] = {}
+    hd["shared_conv"] = _conv(sd, "pts_bbox_head.shared_conv.conv")
+    hd["shared_bn"], hs["shared_bn"] = _bn(sd, "pts_bbox_head.shared_conv.bn")
+    for h in ("reg", "height", "dim", "rot", "vel", "heatmap"):
+        src = f"pts_bbox_head.task_heads.0.{h}"
+        p = {
+            "conv1": _conv(sd, f"{src}.0.conv"),
+            "conv2": _conv(sd, f"{src}.1"),
+        }
+        bn_p, bn_s = _bn(sd, f"{src}.0.bn")
+        p["bn1"] = bn_p
+        hd[h] = p
+        hs[h] = {"bn1": bn_s}
+    params["pts_bbox_head"] = hd
+    stats["pts_bbox_head"] = hs
+    return {"params": params, "batch_stats": stats}
+
+
 def load_torch_checkpoint(path: str):
     """Load a .pth file (torch CPU) and return its flat state_dict."""
     import torch
@@ -214,3 +320,28 @@ def load_torch_checkpoint(path: str):
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt.get("state_dict", ckpt)
     return {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
+
+
+def load_variables(path: str, template, family: str = "bevformer", cfg=None):
+    """Checkpoint dispatch for the tools: a reference torch .pth runs
+    through the family importer (the reference deployment entry — its
+    published checkpoints load directly), anything else through the native
+    msgpack loader.  Extra template collections (e.g. quant) are kept."""
+    if str(path).endswith((".pth", ".pt")):
+        sd = load_torch_checkpoint(path)
+        if family == "bevformer":
+            imported = import_bevformer_checkpoint(
+                sd,
+                depth=cfg.backbone_depth,
+                encoder_layers=cfg.encoder_layers,
+                decoder_layers=cfg.decoder_layers,
+                dcn_stages=cfg.dcn_stages,
+            )
+        elif family == "bevdet":
+            imported = import_bevdet_checkpoint(sd, depth=cfg.backbone_depth)
+        else:
+            raise ValueError(f"no torch importer for family {family!r}")
+        return {**template, **imported}
+    from .checkpoint import load_checkpoint
+
+    return load_checkpoint(path, template=template)

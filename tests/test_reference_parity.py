@@ -297,3 +297,112 @@ def test_decoder_cross_attention_parity(rng):
         ((bev_h, bev_w),),
     )
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------- BEVDet ---
+def test_bevdet_bev_trunk_parity(rng):
+    """CustomResNet + FPN_LSS + CenterHead vs a torch oracle following the
+    reference math (bev_resnet.py:59-95 BasicBlock with bare-conv
+    downsample; lss_fpn.py:26-85 align_corners=True upsamples;
+    centerpoint_head.py:19-100 SeparateHead final_kernel=3), with weights
+    mapped through import_bevdet_checkpoint — numerical importer
+    validation for the BEVDet family (round-1 VERDICT #2 pattern)."""
+    from bevformer_tensorrt_tpu.configs.bevdet import bevdet_micro
+    from bevformer_tensorrt_tpu.models.backbones.bev_resnet import (
+        CustomResNet,
+        FPN_LSS,
+    )
+    from bevformer_tensorrt_tpu.models.heads.centerpoint_head import CenterHead
+    from bevformer_tensorrt_tpu.runtime.torch_import import import_bevdet_checkpoint
+    from test_torch_import import synthetic_bevdet_state_dict
+
+    cfg = bevdet_micro()
+    sd = synthetic_bevdet_state_dict(cfg, rng)
+    for k in list(sd):
+        # tame magnitudes (N(0,1) conv stacks explode to 1e14 over 10+
+        # layers, making abs thresholds meaningless) and use non-trivial
+        # BN stats so the oracle checks the stats mapping
+        if k.endswith("weight") and sd[k].ndim == 4:
+            sd[k] = (sd[k] * 0.08).astype(np.float32)
+        if k.endswith("running_mean"):
+            sd[k] = rng.standard_normal(sd[k].shape).astype(np.float32) * 0.1
+        if k.endswith("running_var"):
+            sd[k] = (1.0 + 0.3 * rng.random(sd[k].shape)).astype(np.float32)
+    imported = import_bevdet_checkpoint(sd, depth=cfg.backbone_depth)
+
+    H = W = 16
+    x = rng.standard_normal((1, cfg.view_channels, H, W)).astype(np.float32)
+
+    # ---- torch oracle ----
+    tx = torch.from_numpy(x)
+
+    def w(k):
+        return torch.from_numpy(sd[f"{k}.weight"])
+
+    def b(k):
+        return torch.from_numpy(sd[f"{k}.bias"])
+
+    def bn(t, k, eps=1e-5):
+        mean = torch.from_numpy(sd[f"{k}.running_mean"])
+        var = torch.from_numpy(sd[f"{k}.running_var"])
+        return (t - mean[None, :, None, None]) / torch.sqrt(
+            var[None, :, None, None] + eps
+        ) * torch.from_numpy(sd[f"{k}.weight"])[None, :, None, None] + torch.from_numpy(
+            sd[f"{k}.bias"]
+        )[None, :, None, None]
+
+    feats = []
+    cur = tx
+    for s in range(3):
+        for blk in range(2):
+            src = f"img_bev_encoder_backbone.layers.{s}.{blk}"
+            stride = 2 if blk == 0 else 1
+            out = F.conv2d(cur, w(f"{src}.conv1"), stride=stride, padding=1)
+            out = F.relu(bn(out, f"{src}.bn1"))
+            out = F.conv2d(out, w(f"{src}.conv2"), padding=1)
+            out = bn(out, f"{src}.bn2")
+            if blk == 0:
+                idn = F.conv2d(cur, w(f"{src}.downsample"), b(f"{src}.downsample"),
+                               stride=stride, padding=1)
+            else:
+                idn = cur
+            cur = F.relu(out + idn)
+        feats.append(cur)
+    up = F.interpolate(feats[2], scale_factor=4, mode="bilinear", align_corners=True)
+    z = torch.cat([feats[0], up], 1)
+    z = F.relu(bn(F.conv2d(z, w("img_bev_encoder_neck.conv.0"), padding=1),
+                  "img_bev_encoder_neck.conv.1"))
+    z = F.relu(bn(F.conv2d(z, w("img_bev_encoder_neck.conv.3"), padding=1),
+                  "img_bev_encoder_neck.conv.4"))
+    z = F.interpolate(z, scale_factor=2, mode="bilinear", align_corners=True)
+    z = F.relu(bn(F.conv2d(z, w("img_bev_encoder_neck.up2.1"), padding=1),
+                  "img_bev_encoder_neck.up2.2"))
+    z = F.conv2d(z, w("img_bev_encoder_neck.up2.4"), b("img_bev_encoder_neck.up2.4"))
+    y = F.relu(bn(F.conv2d(z, w("pts_bbox_head.shared_conv.conv"), padding=1),
+                  "pts_bbox_head.shared_conv.bn"))
+    torch_heads = {}
+    for h in ("reg", "height", "dim", "rot", "vel", "heatmap"):
+        src = f"pts_bbox_head.task_heads.0.{h}"
+        t = F.relu(bn(F.conv2d(y, w(f"{src}.0.conv"), padding=1), f"{src}.0.bn"))
+        torch_heads[h] = F.conv2d(t, w(f"{src}.1"), b(f"{src}.1"), padding=1)
+
+    # ---- flax side (imported params) ----
+    xin = jnp.asarray(x.transpose(0, 2, 3, 1))
+    p, s_ = imported["params"], imported["batch_stats"]
+    enc = CustomResNet(num_channels=cfg.bev_channels)
+    feats_j = enc.apply(
+        {"params": p["img_bev_encoder_backbone"],
+         "batch_stats": s_["img_bev_encoder_backbone"]}, xin)
+    neck = FPN_LSS(out_channels=cfg.bev_out_channels)
+    bev = neck.apply(
+        {"params": p["img_bev_encoder_neck"],
+         "batch_stats": s_["img_bev_encoder_neck"]}, feats_j)
+    head = CenterHead(cfg)
+    heads_j = head.apply(
+        {"params": p["pts_bbox_head"], "batch_stats": s_["pts_bbox_head"]}, bev)
+
+    for h, tv in torch_heads.items():
+        ours = np.asarray(heads_j[h])[0].transpose(2, 0, 1)
+        ref = tv.numpy()[0]
+        rel = np.abs(ours - ref).max() / (np.abs(ref).max() + 1e-9)
+        assert rel < 1e-5, (h, rel)

@@ -65,7 +65,9 @@ def main():
     dummy = jnp.zeros((1, cfg.num_cams, 3, cfg.input_h, cfg.input_w), jnp.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), dummy, rd, rf, rb)
     if args.checkpoint:
-        variables = load_checkpoint(args.checkpoint, template=variables)
+        from bevformer_tensorrt_tpu.runtime.torch_import import load_variables
+
+        variables = load_variables(args.checkpoint, variables, family="bevdet", cfg=cfg)
 
     n = min(args.length, len(frames))
     batches = [{"image": frames.frame(i).image} for i in range(n)]

@@ -67,7 +67,9 @@ def main():
     )
     variables = jax.jit(model_fp.init)(jax.random.PRNGKey(0), *dummy)
     if args.checkpoint:
-        variables = load_checkpoint(args.checkpoint, template=variables)
+        from bevformer_tensorrt_tpu.runtime.torch_import import load_variables
+
+        variables = load_variables(args.checkpoint, variables, family="bevformer", cfg=cfg)
 
     # FP32 pre-pass: record realistic recurrent state per calibration frame
     print(f"pre-pass: {n} frames", file=sys.stderr)

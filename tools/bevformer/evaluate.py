@@ -117,7 +117,9 @@ def main():
     )
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), *dummy)
     if args.checkpoint:
-        variables = load_checkpoint(args.checkpoint, template=variables)
+        from bevformer_tensorrt_tpu.runtime.torch_import import load_variables
+
+        variables = load_variables(args.checkpoint, variables, family="bevformer", cfg=cfg)
     if args.quant_scales:
         scales = load_checkpoint(args.quant_scales)
         variables = {**variables, "quant": scales["quant"]}
