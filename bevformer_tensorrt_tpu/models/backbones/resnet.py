@@ -63,16 +63,18 @@ class DeformConv2d(nn.Module):
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (3, 3, x.shape[-1], self.features), jnp.float32
         )
-        # mmcv packs (o1, o2) as interleaved (y, x) per tap after concat:
-        # conv_offset emits [o1(y-taps), o2(x-taps), mask]; modulated deform
-        # conv expects per-tap interleave, so interleave here.  Everything
-        # stays NHWC — the op's NHWC layout path packs its gather table
-        # channel-last and emits pixels-major, so neither the feature map
-        # nor the output pays an NCHW relayout.
+        # mmcv ModulatedDeformConv2dPack semantics: conv_offset's output
+        # channels are ALREADY per-tap interleaved — torch.chunk(out, 3)
+        # followed by cat((o1, o2)) is a no-op on the first 2*ntap
+        # channels, so ch 2t = y-offset of tap t, 2t+1 = x-offset, and the
+        # last ntap are the mask logits.  (Round-2 fix: the previous
+        # [y-taps | x-taps] reading was self-consistent for from-scratch
+        # training but misinterpreted every imported mmcv DCN checkpoint.)
+        # Everything stays NHWC — the op's NHWC layout path packs its
+        # gather table channel-last and emits pixels-major, so neither the
+        # feature map nor the output pays an NCHW relayout.
         ntap = dg * 9
-        oy = off_mask[..., :ntap]
-        ox = off_mask[..., ntap : 2 * ntap]
-        offset = jnp.stack([oy, ox], axis=-1).reshape(*oy.shape[:-1], 2 * ntap)
+        offset = off_mask[..., : 2 * ntap]
         mask = jax.nn.sigmoid(off_mask[..., 2 * ntap :])
         w = kernel.transpose(3, 2, 0, 1)  # HWIO -> OIHW
         return modulated_deform_conv2d(

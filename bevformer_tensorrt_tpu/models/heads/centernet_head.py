@@ -28,8 +28,14 @@ class CenterNetHead(nn.Module):
         def branch(out_ch, bias, name):
             h = QConv(self.feat_channels, (3, 3), padding=1, quant=self.quant, name=f"{name}_conv")(x)
             h = nn.relu(h)
-            h = QConv(out_ch, (1, 1), padding=0, quant=self.quant, name=f"{name}_out")(h)
-            return h + bias if bias else h
+            # `bias` is the final conv's bias INITIALIZER (mmdet
+            # bias_init_with_prob(0.1) = -2.19 on the heatmap) — a runtime
+            # add would double it under imported checkpoints.
+            h = QConv(
+                out_ch, (1, 1), padding=0, quant=self.quant, name=f"{name}_out",
+                bias_init=nn.initializers.constant(bias),
+            )(h)
+            return h
 
         return {
             "heatmap": branch(self.num_classes, -2.19, "heatmap"),

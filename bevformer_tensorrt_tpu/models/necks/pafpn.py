@@ -22,34 +22,52 @@ class YOLOXPAFPN(nn.Module):
 
     @nn.compact
     def __call__(self, inputs):
+        """mmdet YOLOXPAFPN channel plan, exactly (for reference-checkpoint
+        import): reduce_layers[k] maps level n-1-k down to the NEXT-LOWER
+        level's width (not out_channels); the reduced tensor is what the
+        bottom-up path concatenates with; bottom_up_blocks[k] emits
+        in_channels[k+1].  Module names index like mmdet's lists:
+        reduce{k} = reduce_layers.{k}, td_csp{k} = top_down_blocks.{k},
+        down{k} = downsamples.{k}, bu_csp{k} = bottom_up_blocks.{k},
+        out{k} = out_convs.{k}."""
         c = self.out_channels
         n = len(inputs)
-        # top-down
-        inner = list(inputs)
-        for i in range(n - 1, 0, -1):
-            inner[i] = ConvModule(c, 1, quant=self.quant, name=f"reduce{i}")(inner[i])
-            up = _upsample_nearest_2x(inner[i])
-            up = up[:, : inner[i - 1].shape[1], : inner[i - 1].shape[2]]
-            cat = jnp.concatenate([up, inner[i - 1]], axis=-1)
-            inner[i - 1] = CSPLayer(
-                c if i - 1 == 0 else inputs[i - 1].shape[-1],
-                self.num_csp_blocks,
-                add_identity=False,
-                quant=self.quant,
-                name=f"td_csp{i - 1}",
-            )(cat)
-        # bottom-up
-        outs = [inner[0]]
-        for i in range(n - 1):
-            down = ConvModule(outs[i].shape[-1], 3, 2, quant=self.quant, name=f"down{i}")(outs[i])
-            cat = jnp.concatenate([down, inner[i + 1]], axis=-1)
-            outs.append(
+        # top-down (mmdet iterates deepest-first; list index k = n-1-idx)
+        inner = [inputs[-1]]
+        for idx in range(n - 1, 0, -1):
+            k = n - 1 - idx
+            feat_low = inputs[idx - 1]
+            feat_high = ConvModule(
+                feat_low.shape[-1], 1, quant=self.quant, name=f"reduce{k}"
+            )(inner[0])
+            inner[0] = feat_high
+            up = _upsample_nearest_2x(feat_high)
+            up = up[:, : feat_low.shape[1], : feat_low.shape[2]]
+            cat = jnp.concatenate([up, feat_low], axis=-1)
+            inner.insert(
+                0,
                 CSPLayer(
-                    inner[i + 1].shape[-1],
+                    feat_low.shape[-1],
                     self.num_csp_blocks,
                     add_identity=False,
                     quant=self.quant,
-                    name=f"bu_csp{i}",
+                    name=f"td_csp{k}",
+                )(cat),
+            )
+        # bottom-up
+        outs = [inner[0]]
+        for k in range(n - 1):
+            down = ConvModule(
+                outs[k].shape[-1], 3, 2, quant=self.quant, name=f"down{k}"
+            )(outs[k])
+            cat = jnp.concatenate([down, inner[k + 1]], axis=-1)
+            outs.append(
+                CSPLayer(
+                    inputs[k + 1].shape[-1],
+                    self.num_csp_blocks,
+                    add_identity=False,
+                    quant=self.quant,
+                    name=f"bu_csp{k}",
                 )(cat)
             )
         return [

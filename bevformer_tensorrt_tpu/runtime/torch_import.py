@@ -313,6 +313,158 @@ def import_bevdet_checkpoint(
     return {"params": params, "batch_stats": stats}
 
 
+def _cm(sd, key):
+    """mmcv ConvModule (conv bias-less + BN) -> (params, batch_stats) for
+    csp_darknet.ConvModule / any conv+FrozenBN pair named conv/bn."""
+    p = {"conv": _conv(sd, f"{key}.conv")}
+    p["bn"], s = _bn(sd, f"{key}.bn")
+    return p, {"bn": s}
+
+
+def _csp(sd, key):
+    """mmdet CSPLayer -> (params, batch_stats) for csp_darknet.CSPLayer."""
+    p: Dict[str, Any] = {}
+    s: Dict[str, Any] = {}
+    for sub in ("main_conv", "short_conv", "final_conv"):
+        p[sub], s[sub] = _cm(sd, f"{key}.{sub}")
+    k = 0
+    while f"{key}.blocks.{k}.conv1.conv.weight" in sd:
+        bp: Dict[str, Any] = {}
+        bs: Dict[str, Any] = {}
+        bp["conv1"], bs["conv1"] = _cm(sd, f"{key}.blocks.{k}.conv1")
+        bp["conv2"], bs["conv2"] = _cm(sd, f"{key}.blocks.{k}.conv2")
+        p[f"block{k}"] = bp
+        s[f"block{k}"] = bs
+        k += 1
+    return p, s
+
+
+def import_yolox_checkpoint(state_dict: Dict[str, Any]) -> Dict[str, Any]:
+    """mmdet YOLOX (configs/yolox/yolox_x_8x8_300e_coco.py) state_dict ->
+    {"params", "batch_stats"} for models.detectors.YOLOX.
+
+    Key map: backbone.stem/stage{1..4} (CSPDarknet: Sequential [down,
+    (SPP), CSPLayer]), neck.{reduce_layers,top_down_blocks,downsamples,
+    bottom_up_blocks,out_convs}.{k} (YOLOXPAFPN — our module names index
+    the same lists), bbox_head.multi_level_{cls,reg}_convs.{lvl}.{i} +
+    multi_level_conv_{cls,reg,obj}.{lvl}."""
+    sd = {k.replace("module.", ""): v for k, v in state_dict.items()}
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    bp: Dict[str, Any] = {}
+    bs_: Dict[str, Any] = {}
+    stem_p, stem_s = _cm(sd, "backbone.stem.conv")
+    bp["stem"] = {"conv": stem_p}
+    bs_["stem"] = {"conv": stem_s}
+    for i in range(1, 5):
+        bp[f"stage{i}_down"], bs_[f"stage{i}_down"] = _cm(sd, f"backbone.stage{i}.0")
+        if f"backbone.stage{i}.1.conv1.conv.weight" in sd:  # SPP present
+            sp: Dict[str, Any] = {}
+            ss: Dict[str, Any] = {}
+            sp["conv1"], ss["conv1"] = _cm(sd, f"backbone.stage{i}.1.conv1")
+            sp["conv2"], ss["conv2"] = _cm(sd, f"backbone.stage{i}.1.conv2")
+            bp[f"stage{i}_spp"] = sp
+            bs_[f"stage{i}_spp"] = ss
+            csp_key = f"backbone.stage{i}.2"
+        else:
+            csp_key = f"backbone.stage{i}.1"
+        bp[f"stage{i}_csp"], bs_[f"stage{i}_csp"] = _csp(sd, csp_key)
+    params["backbone"] = bp
+    stats["backbone"] = bs_
+
+    np_: Dict[str, Any] = {}
+    ns: Dict[str, Any] = {}
+    k = 0
+    while f"neck.reduce_layers.{k}.conv.weight" in sd:
+        np_[f"reduce{k}"], ns[f"reduce{k}"] = _cm(sd, f"neck.reduce_layers.{k}")
+        np_[f"td_csp{k}"], ns[f"td_csp{k}"] = _csp(sd, f"neck.top_down_blocks.{k}")
+        k += 1
+    k = 0
+    while f"neck.downsamples.{k}.conv.weight" in sd:
+        np_[f"down{k}"], ns[f"down{k}"] = _cm(sd, f"neck.downsamples.{k}")
+        np_[f"bu_csp{k}"], ns[f"bu_csp{k}"] = _csp(sd, f"neck.bottom_up_blocks.{k}")
+        k += 1
+    k = 0
+    while f"neck.out_convs.{k}.conv.weight" in sd:
+        np_[f"out{k}"], ns[f"out{k}"] = _cm(sd, f"neck.out_convs.{k}")
+        k += 1
+    params["neck"] = np_
+    stats["neck"] = ns
+
+    hp: Dict[str, Any] = {}
+    hs: Dict[str, Any] = {}
+    lvl = 0
+    while f"bbox_head.multi_level_conv_cls.{lvl}.weight" in sd:
+        i = 0
+        while f"bbox_head.multi_level_cls_convs.{lvl}.{i}.conv.weight" in sd:
+            hp[f"l{lvl}_cls{i}"], hs[f"l{lvl}_cls{i}"] = _cm(
+                sd, f"bbox_head.multi_level_cls_convs.{lvl}.{i}"
+            )
+            hp[f"l{lvl}_reg{i}"], hs[f"l{lvl}_reg{i}"] = _cm(
+                sd, f"bbox_head.multi_level_reg_convs.{lvl}.{i}"
+            )
+            i += 1
+        hp[f"l{lvl}_cls_out"] = _conv(sd, f"bbox_head.multi_level_conv_cls.{lvl}")
+        hp[f"l{lvl}_reg_out"] = _conv(sd, f"bbox_head.multi_level_conv_reg.{lvl}")
+        hp[f"l{lvl}_obj_out"] = _conv(sd, f"bbox_head.multi_level_conv_obj.{lvl}")
+        lvl += 1
+    params["bbox_head"] = hp
+    stats["bbox_head"] = hs
+    return {"params": params, "batch_stats": stats}
+
+
+def import_centernet_checkpoint(
+    state_dict: Dict[str, Any], depth: int = 18
+) -> Dict[str, Any]:
+    """mmdet CenterNet (centernet_resnet18_dcnv2_140e_coco) state_dict ->
+    {"params", "batch_stats"} for models.detectors.CenterNet.
+
+    Key map: backbone.* (mmcv R18 BasicBlocks), neck.deconv_layers.{2m}
+    (ConvModule with DCNv2: conv.weight + conv.conv_offset) and .{2m+1}
+    (deconv ConvModule: ConvTranspose2d + BN), bbox_head.{heatmap,wh,
+    offset}_head.{0,2} (conv3x3+bias, ReLU, conv1x1)."""
+    sd = {k.replace("module.", ""): v for k, v in state_dict.items()}
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    bp, bs_ = _import_resnet(sd, "backbone", depth)
+    params["backbone"] = bp
+    stats["backbone"] = bs_
+
+    np_: Dict[str, Any] = {}
+    ns: Dict[str, Any] = {}
+    m = 0
+    while f"neck.deconv_layers.{2 * m}.conv.weight" in sd:
+        dk = f"neck.deconv_layers.{2 * m}"
+        np_[f"dcn{m}"] = {
+            "conv_offset": _conv(sd, f"{dk}.conv.conv_offset"),
+            "kernel": np.transpose(np.asarray(sd[f"{dk}.conv.weight"]), (2, 3, 1, 0)),
+        }
+        np_[f"dcn_bn{m}"], ns[f"dcn_bn{m}"] = _bn(sd, f"{dk}.bn")
+        uk = f"neck.deconv_layers.{2 * m + 1}"
+        # torch ConvTranspose2d weight [in, out, kh, kw] -> flax ConvTranspose
+        # kernel [kh, kw, in, out], spatially FLIPPED: lax.conv_transpose
+        # correlates where torch's transposed conv convolves (see
+        # tests/test_reference_parity.py centernet deconv oracle).
+        w = np.asarray(sd[f"{uk}.conv.weight"])
+        np_[f"deconv{m}"] = {
+            "kernel": np.transpose(w[:, :, ::-1, ::-1], (2, 3, 0, 1)).copy()
+        }
+        np_[f"deconv_bn{m}"], ns[f"deconv_bn{m}"] = _bn(sd, f"{uk}.bn")
+        m += 1
+    params["neck"] = np_
+    stats["neck"] = ns
+
+    hp: Dict[str, Any] = {}
+    for name in ("heatmap", "wh", "offset"):
+        hp[f"{name}_conv"] = _conv(sd, f"bbox_head.{name}_head.0")
+        hp[f"{name}_out"] = _conv(sd, f"bbox_head.{name}_head.2")
+    params["bbox_head"] = hp
+    stats["bbox_head"] = {}
+    return {"params": params, "batch_stats": stats}
+
+
 def load_torch_checkpoint(path: str):
     """Load a .pth file (torch CPU) and return its flat state_dict."""
     import torch
@@ -339,6 +491,10 @@ def load_variables(path: str, template, family: str = "bevformer", cfg=None):
             )
         elif family == "bevdet":
             imported = import_bevdet_checkpoint(sd, depth=cfg.backbone_depth)
+        elif family == "yolox":
+            imported = import_yolox_checkpoint(sd)
+        elif family == "centernet":
+            imported = import_centernet_checkpoint(sd, depth=cfg.backbone_depth)
         else:
             raise ValueError(f"no torch importer for family {family!r}")
         return {**template, **imported}

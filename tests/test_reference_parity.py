@@ -406,3 +406,106 @@ def test_bevdet_bev_trunk_parity(rng):
         ref = tv.numpy()[0]
         rel = np.abs(ours - ref).max() / (np.abs(ref).max() + 1e-9)
         assert rel < 1e-5, (h, rel)
+
+
+# -------------------------------------------------------------- geometry ---
+def test_point_sampling_parity(rng):
+    """encoder point_sampling vs a verbatim torch oracle of the reference's
+    point_sampling_trt (det2trt/models/modules/encoder.py:14-74): projected
+    coordinates exactly; our normalized soft mask must equal the reference's
+    downstream any-visible / camera-count weighting (encoder.py:256-258)."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from geometry_analysis import nuscenes_like_rig
+
+    from bevformer_tensorrt_tpu.models.modules.encoder import (
+        get_reference_points_3d,
+        point_sampling,
+    )
+
+    bev_h = bev_w = 20
+    pillar = 4
+    cams = 6
+    img_w, img_h = 1600, 928
+    pc_range = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+    l2i = nuscenes_like_rig(img_w, img_h)[:cams].astype(np.float32)
+
+    ref_3d = get_reference_points_3d(bev_h, bev_w, pillar)  # [1, pillar, nq, 3]
+    nq = bev_h * bev_w
+
+    # ---- torch oracle (reference lines followed verbatim) ----
+    rp = torch.from_numpy(ref_3d.copy())
+    rp[..., 0:1] = rp[..., 0:1] * (pc_range[3] - pc_range[0]) + pc_range[0]
+    rp[..., 1:2] = rp[..., 1:2] * (pc_range[4] - pc_range[1]) + pc_range[1]
+    rp[..., 2:3] = rp[..., 2:3] * (pc_range[5] - pc_range[2]) + pc_range[2]
+    rp = torch.cat((rp, torch.ones_like(rp[..., :1])), -1)
+    rp = rp.permute(1, 0, 2, 3)  # [pillar, 1, nq, 4]
+    D, B = pillar, 1
+    rp = rp.view(D, B, 1, nq, 4).repeat(1, 1, cams, 1, 1).unsqueeze(-1)
+    l2i_t = torch.from_numpy(l2i).view(1, B, cams, 1, 4, 4).repeat(D, 1, 1, nq, 1, 1)
+    cam = torch.matmul(l2i_t, rp).squeeze(-1)
+    eps = 1e-5
+    m = cam[..., 2:3] > eps
+    xy = cam[..., 0:2] / torch.max(cam[..., 2:3], torch.ones_like(cam[..., 2:3]) * eps)
+    xy[..., 0] /= img_w
+    xy[..., 1] /= img_h
+    m = (
+        m
+        & (xy[..., 1:2] > 0.0)
+        & (xy[..., 1:2] < 1.0)
+        & (xy[..., 0:1] < 1.0)
+        & (xy[..., 0:1] > 0.0)
+    )
+    ref_cam_t = xy.permute(2, 1, 3, 0, 4)   # [cams, 1, nq, pillar, 2]
+    mask_t = m.permute(2, 1, 3, 0, 4)[..., 0]  # [cams, 1, nq, pillar]
+
+    # ---- ours ----
+    ref_cam, mask = point_sampling(
+        jnp.asarray(ref_3d), pc_range, jnp.asarray(l2i.reshape(1, cams, 4, 4)),
+        (img_h, img_w), cams,
+    )
+    ours_cam = np.asarray(ref_cam).reshape(cams, nq, pillar, 2)
+    oracle_cam = ref_cam_t[:, 0].numpy()
+    # behind-camera points divide by the eps clamp (coords ~1e6, masked to
+    # 0 downstream) — assert exactly where the reference mask is set, and
+    # loosely (relative) elsewhere
+    vis = mask_t[:, 0].numpy().astype(bool)[..., None]
+    np.testing.assert_allclose(
+        np.where(vis, ours_cam, 0.0), np.where(vis, oracle_cam, 0.0), atol=2e-4
+    )
+    np.testing.assert_allclose(ours_cam, oracle_cam, rtol=1e-4, atol=2e-4)
+
+    # mask: reference weighting = any-visible(cam, q) / count(q)
+    # (count = #cams with any visible pillar point, clamped >= 1)
+    anyv = mask_t[:, 0].numpy().any(-1).astype(np.float64)  # [cams, nq]
+    count = np.maximum(anyv.sum(0, keepdims=True), 1.0)
+    want = anyv / count
+    np.testing.assert_allclose(np.asarray(mask)[..., 0], want, atol=1e-6)
+
+
+def test_can_bus_shift_parity(rng):
+    """can_bus_to_shift vs the reference's shift math verbatim
+    (det2trt/models/modules/transformer.py:87-119), incl. the branch-free
+    atan2 and sign conventions, over random ego states."""
+    from bevformer_tensorrt_tpu.models.modules.transformer import can_bus_to_shift
+
+    for _ in range(20):
+        can_bus = rng.standard_normal(18).astype(np.float32) * 3
+        grid_length = (0.512, 0.512)
+        bev_h = bev_w = 50
+        cb = torch.from_numpy(can_bus)
+        delta_x, delta_y = cb[0:1], cb[1:2]
+        ego_angle = cb[-2:-1] / np.pi * 180
+        tl = torch.sqrt(delta_x**2 + delta_y**2)
+        ta = (
+            torch.atan(delta_y / (delta_x + 1e-8))
+            + ((1 - torch.sign(delta_x)) / 2) * torch.sign(delta_y) * np.pi
+        ) / np.pi * 180
+        ba = ego_angle - ta
+        want_y = (tl * torch.cos(ba / 180 * np.pi) / grid_length[0] / bev_h).item()
+        want_x = (tl * torch.sin(ba / 180 * np.pi) / grid_length[1] / bev_w).item()
+        got = np.asarray(
+            can_bus_to_shift(jnp.asarray(can_bus), grid_length, bev_h, bev_w, True)
+        )
+        np.testing.assert_allclose(got, [want_x, want_y], atol=1e-5)

@@ -21,7 +21,7 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("model", choices=["yolox_x", "yolox_s", "centernet_r18"])
+    ap.add_argument("model", choices=["yolox_x", "yolox_s", "yolox_micro", "centernet_r18", "centernet_micro"])
     ap.add_argument("--ann", required=True)
     ap.add_argument("--img-root", required=True)
     ap.add_argument("--checkpoint", default=None)
@@ -61,8 +61,10 @@ def main():
     imgs0 = jnp.zeros((B, 3, cfg.img_size, cfg.img_size), jnp.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), imgs0)
     if args.checkpoint:
-        ckpt = load_checkpoint(args.checkpoint)
-        variables = {**variables, "params": ckpt["params"], "batch_stats": ckpt.get("batch_stats", variables.get("batch_stats", {}))}
+        from bevformer_tensorrt_tpu.runtime.torch_import import load_variables
+
+        family = "yolox" if args.model.startswith("yolox") else "centernet"
+        variables = load_variables(args.checkpoint, variables, family=family, cfg=cfg)
 
     n = min(args.length, len(ds))
     batches = []

@@ -22,7 +22,7 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("model", choices=["yolox_x", "yolox_s", "centernet_r18"])
+    ap.add_argument("model", choices=["yolox_x", "yolox_s", "yolox_micro", "centernet_r18", "centernet_micro"])
     ap.add_argument("--ann", required=True)
     ap.add_argument("--img-root", required=True)
     ap.add_argument("--checkpoint", default=None)
@@ -90,7 +90,10 @@ def main():
     imgs0 = jnp.zeros((B, 3, cfg.img_size, cfg.img_size), jnp.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), imgs0)
     if args.checkpoint:
-        variables = load_checkpoint(args.checkpoint, template=variables)
+        from bevformer_tensorrt_tpu.runtime.torch_import import load_variables
+
+        family = "yolox" if args.model.startswith("yolox") else "centernet"
+        variables = load_variables(args.checkpoint, variables, family=family, cfg=cfg)
     infer_jit = jax.jit(infer)
 
     n = len(ds) if args.limit is None else min(args.limit, len(ds))

@@ -96,8 +96,14 @@ def main():
     params = variables["params"]
     extra = {k: v for k, v in variables.items() if k != "params"}
     if args.checkpoint:
-        ckpt = load_checkpoint(args.checkpoint, template={"params": params})
+        from bevformer_tensorrt_tpu.runtime.torch_import import load_variables
+
+        family = "yolox" if args.model.startswith("yolox") else "centernet"
+        ckpt = load_variables(
+            args.checkpoint, {"params": params, **extra}, family=family, cfg=cfg
+        )
         params = ckpt["params"]
+        extra = {k: v for k, v in ckpt.items() if k != "params"}
     if qat:
         extra["quant"] = load_checkpoint(args.quant_scales)["quant"]
 
