@@ -38,8 +38,14 @@ def multiclass_nms(
     score_thr: float,
     iou_threshold: float,
     max_per_img: int,
+    nms_pre: int = 1000,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Per-class NMS; returns (boxes [k,4], scores [k], labels [k])."""
+    """Per-class NMS; returns (boxes [k,k4], scores [k], labels [k]).
+
+    nms_pre caps the per-class candidate count by score before the greedy
+    loop (mmdet's nms_pre convention) — greedy NMS is O(kept * candidates),
+    and an untrained/noisy score map can otherwise push tens of thousands
+    of candidates into the loop (measured 11 s/image at 44% density)."""
     out_b, out_s, out_l = [], [], []
     C = scores.shape[1]
     for c in range(C):
@@ -49,7 +55,12 @@ def multiclass_nms(
             continue
         b = boxes[m]
         s = sc[m]
-        keep = nms(b, s, iou_threshold)
+        if nms_pre and len(s) > nms_pre:
+            top = np.argpartition(-s, nms_pre)[:nms_pre]
+            b, s = b[top], s[top]
+        from ..native import nms_2d_native
+
+        keep = nms_2d_native(b, s, iou_threshold)
         out_b.append(b[keep])
         out_s.append(s[keep])
         out_l.append(np.full(len(keep), c, np.int64))

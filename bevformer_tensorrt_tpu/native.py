@@ -56,7 +56,34 @@ def _nms_lib():
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_float),
     ]
+    lib.nms_2d.restype = ctypes.c_int64
+    lib.nms_2d.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.c_float,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
     return lib
+
+
+def nms_2d_native(boxes: np.ndarray, scores: np.ndarray, iou_threshold: float):
+    """Axis-aligned greedy NMS; returns kept indices (score-desc order).
+    Native C++ kernel with the pure-numpy greedy loop as fallback."""
+    order = np.argsort(-scores)
+    lib = _nms_lib()
+    if lib is None:
+        from .core.nms2d import nms as nms_np
+
+        return order[: 0] if len(order) == 0 else nms_np(boxes, scores, iou_threshold)
+    b = np.ascontiguousarray(boxes[order], np.float32)
+    keep = np.empty(len(order), np.int64)
+    n = lib.nms_2d(
+        b.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(order),
+        ctypes.c_float(iou_threshold),
+        keep.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return order[keep[:n]]
 
 
 @functools.cache

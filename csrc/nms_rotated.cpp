@@ -117,4 +117,37 @@ void rotated_iou_matrix(const float* a, int64_t n, const float* b, int64_t m,
       out[i * m + j] = (float)rotated_iou(a + i * 5, b + j * 5);
 }
 
+// Axis-aligned greedy NMS (the 2D family's multiclass_nms hot loop —
+// mmdet nms replacement).  boxes: [n, 4] xyxy float32, caller-sorted by
+// score descending.  keep_out: [n] int64 buffer; returns number kept.
+int64_t nms_2d(const float* boxes, int64_t n, float iou_threshold,
+               int64_t* keep_out) {
+  std::vector<uint8_t> suppressed(n, 0);
+  std::vector<float> area(n);
+  for (int64_t i = 0; i < n; i++) {
+    const float* b = boxes + i * 4;
+    area[i] = std::max(b[2] - b[0], 0.0f) * std::max(b[3] - b[1], 0.0f);
+  }
+  int64_t n_keep = 0;
+  for (int64_t i = 0; i < n; i++) {
+    if (suppressed[i]) continue;
+    keep_out[n_keep++] = i;
+    const float* bi = boxes + i * 4;
+    for (int64_t j = i + 1; j < n; j++) {
+      if (suppressed[j]) continue;
+      const float* bj = boxes + j * 4;
+      const float xx1 = std::max(bi[0], bj[0]);
+      const float yy1 = std::max(bi[1], bj[1]);
+      const float xx2 = std::min(bi[2], bj[2]);
+      const float yy2 = std::min(bi[3], bj[3]);
+      const float iw = xx2 - xx1, ih = yy2 - yy1;
+      if (iw <= 0 || ih <= 0) continue;
+      const float inter = iw * ih;
+      const float uni = area[i] + area[j] - inter;
+      if (uni > 1e-12f && inter / uni > iou_threshold) suppressed[j] = 1;
+    }
+  }
+  return n_keep;
+}
+
 }  // extern "C"
