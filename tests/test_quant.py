@@ -204,6 +204,11 @@ class TestQDenseQMinor:
         np.testing.assert_allclose(
             np.asarray(yt.transpose(0, 2, 1)), np.asarray(y), rtol=1e-5, atol=1e-5
         )
+        # q_minor='out': q-MAJOR input, q-minor output — same params
+        yo = m.apply(variables, x, q_minor="out")
+        np.testing.assert_allclose(
+            np.asarray(yo.transpose(0, 2, 1)), np.asarray(y), rtol=1e-5, atol=1e-5
+        )
 
 
 def test_int8_without_scales_raises(rng):
