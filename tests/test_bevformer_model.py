@@ -135,3 +135,27 @@ def test_msda_impl_sorted_matches_jnp(model_and_params):
     out_s = model_s.apply(variables, image, prev_bev, jnp.float32(1.0), can_bus, lidar2img)
     for a, b in zip(out_j, out_s):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("model", ["tiny", "base"])
+def test_cam_budget_covers_realistic_rig(model):
+    """VERDICT item: the static per-camera budget must cover the visible-query
+    footprint of a realistic nuScenes 6-camera rig (published intrinsics/yaw
+    layout) at full BEV scale — otherwise compaction silently drops visible
+    queries (reference rebatches dynamically to the measured max,
+    spatial_cross_attention.py:201-231, so it never drops)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from cam_budget_check import visible_counts
+
+    from bevformer_tensorrt_tpu.configs import bevformer as cfgs
+
+    cfg = getattr(cfgs, f"bevformer_{model}")()
+    nq = cfg.bev_h * cfg.bev_w
+    K = min(nq, -(-int(nq * cfg.cam_budget) // 128) * 128)
+    counts = visible_counts(cfg)
+    # measured max is ~0.248*nq (CAM_BACK, 120deg FOV); require real margin
+    # so calibration jitter on an actual rig cannot push past the budget.
+    assert counts.max() <= 0.85 * K, (counts, K)
