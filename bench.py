@@ -149,7 +149,13 @@ def main():
     def make_apply():
         @jax.jit
         def apply_fn(v, image, prev_bev, use_prev, can_bus, l2i):
-            return model.apply(v, image, prev_bev, use_prev, can_bus, l2i)
+            bev_embed, classes, coords = model.apply(
+                v, image, prev_bev, use_prev, can_bus, l2i
+            )
+            # scalar sync probe computed IN-GRAPH: fetching it afterwards is
+            # one buffer readback, not an extra slice-op dispatch (each
+            # dispatch costs a full relay round trip on this backend)
+            return bev_embed, classes, coords, coords[-1, 0, 0]
 
         return apply_fn
 
@@ -183,13 +189,13 @@ def main():
     pb = prev_bev
     for i in range(args.warmup + args.iters):
         t0 = time.perf_counter()
-        bev_embed, classes, coords = apply_fn(
+        bev_embed, classes, coords, probe = apply_fn(
             variables, image, pb, jnp.float32(1.0), can_bus, lidar2img
         )
         pb = bev_embed  # recurrent state stays on device
         # force a device->host readback: block_until_ready alone can return
         # before remote execution finishes on tunneled backends
-        np.asarray(coords[-1, 0, 0])
+        np.asarray(probe)
         dt = time.perf_counter() - t0
         if i >= args.warmup:
             lat.append(dt)

@@ -698,11 +698,12 @@ def _sorted_core(
     QB = (num_q + (-num_q) % 128) // 128
     sub = 4 if packed == "int8" else (2 if packed else 1)
 
-    # two-plane tables: half the VMEM per table block — usually the
-    # difference between one kernel call and a key-range split — at
-    # identical per-visit gather cost (see pallas/msda_gather two_plane).
-    # MSDA_TWO_PLANE=0 restores the 4-plane layout for A/B.
-    two_plane = os.environ.get("MSDA_TWO_PLANE", "1") == "1"
+    # two-plane tables: half the VMEM per table block at identical
+    # per-visit gather cost on paper — but MEASURED slower on v5e
+    # (1.73 vs 1.91 FPS base bf16, ab_kernel_layouts 2026-08-19: the
+    # dual-lane gather's extra row-combine work beats the VMEM saving),
+    # so 4-plane is the default and MSDA_TWO_PLANE=1 is the A/B override.
+    two_plane = os.environ.get("MSDA_TWO_PLANE", "0") == "1"
 
     table, level_base, scale = _pack_tables_from_vt(
         vt, spatial_shapes, packed, planes=2 if two_plane else 4
@@ -767,10 +768,11 @@ def _sorted_core(
         m4 = m4.astype(jnp.bfloat16)
 
     # query blocks per program: amortizes the ~1.2 us program fixed cost
-    # over 8 blocks — dead blocks (compaction tail, off-range split passes)
-    # become one pl.when branch instead of one program each.  MSDA_QBB=1
-    # restores the one-block-per-program layout for A/B or fallback.
-    qbb = min(int(os.environ.get("MSDA_QBB", "8")), QB)
+    # over several blocks.  MEASURED no effect on v5e at base shapes
+    # (1.905 vs 1.914 FPS for 8 vs 1, ab_kernel_layouts 2026-08-19 —
+    # Mosaic already overlaps program launches), so default to the
+    # simpler one-block-per-program layout; MSDA_QBB>1 kept for A/B.
+    qbb = min(int(os.environ.get("MSDA_QBB", "1")), QB)
 
     if n_splits == 1:
         out = msda_gather_sorted(
