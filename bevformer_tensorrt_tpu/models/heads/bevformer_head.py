@@ -26,10 +26,10 @@ class ClsBranch(nn.Module):
     def __call__(self, x):
         cfg = self.cfg
         x = QDense(cfg.embed_dims, quant=cfg.quant, name="fc1")(x)
-        x = nn.LayerNorm(name="ln1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="ln1")(x)
         x = nn.relu(x)
         x = QDense(cfg.embed_dims, quant=cfg.quant, name="fc2")(x)
-        x = nn.LayerNorm(name="ln2")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="ln2")(x)
         x = nn.relu(x)
         return QDense(cfg.num_classes, quant=cfg.quant, name="out")(x)
 

@@ -197,7 +197,7 @@ class MSDeformableAttention3D(nn.Module):
         L, P = self.num_levels, self.num_points
         ppg = reference_points_cam.shape[-1] // 2
 
-        K = min(nq, -(-int(nq * self.cam_budget) // 128) * 128)
+        K = min(nq, max(128, -(-int(nq * self.cam_budget) // 128) * 128))
         if K < nq:
             if compaction is not None:
                 topi, topv, ref_c = compaction

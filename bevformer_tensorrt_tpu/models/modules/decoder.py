@@ -34,7 +34,7 @@ class DecoderLayer(nn.Module):
             embed_dims=cfg.embed_dims, num_heads=cfg.num_heads, quant=cfg.quant,
             name="self_attn",
         )(query, query, query, identity, query_pos, query_pos)
-        query = nn.LayerNorm(name="norm1")(query).astype(dt)
+        query = nn.LayerNorm(epsilon=1e-5, name="norm1")(query).astype(dt)
         identity = query
         query = CustomMSDeformableAttention(
             embed_dims=cfg.embed_dims,
@@ -45,9 +45,9 @@ class DecoderLayer(nn.Module):
             msda_impl=cfg.msda_impl,
             name="cross_attn",
         )(query, value, identity, query_pos, reference_points_2d, spatial_shapes)
-        query = nn.LayerNorm(name="norm2")(query).astype(dt)
+        query = nn.LayerNorm(epsilon=1e-5, name="norm2")(query).astype(dt)
         query = FFN(cfg.embed_dims, cfg.ffn_dims, quant=cfg.quant, name="ffn")(query)
-        return nn.LayerNorm(name="norm3")(query).astype(dt)
+        return nn.LayerNorm(epsilon=1e-5, name="norm3")(query).astype(dt)
 
 
 class DetectionTransformerDecoder(nn.Module):

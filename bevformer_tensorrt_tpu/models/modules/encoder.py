@@ -90,6 +90,38 @@ def point_sampling(
     return ref_cam, mask
 
 
+def cam_budget_overflow(cfg, lidar2img: np.ndarray) -> Tuple[np.ndarray, int]:
+    """Host-side (numpy) guard for the static camera compaction.
+
+    The encoder's per-camera top-K compaction silently drops visible BEV
+    queries if a camera sees more than K = ceil(cam_budget*nq/128)*128 of
+    them (the reference instead rebatches to the DYNAMIC per-frame max,
+    spatial_cross_attention.py:72 `max_len`).  This mirrors point_sampling
+    in numpy — no device dispatch — and returns (visible counts per camera,
+    max overflow beyond K).  Engines call it per scene and warn on overflow.
+    """
+    nq = cfg.bev_h * cfg.bev_w
+    K = min(nq, max(128, -(-int(nq * cfg.cam_budget) // 128) * 128))
+    ref = get_reference_points_3d(cfg.bev_h, cfg.bev_w, cfg.num_points_in_pillar)[0]
+    span = np.array(
+        [cfg.pc_range[3] - cfg.pc_range[0],
+         cfg.pc_range[4] - cfg.pc_range[1],
+         cfg.pc_range[5] - cfg.pc_range[2]], np.float32,
+    )
+    pts = ref * span + np.asarray(cfg.pc_range[:3], np.float32)  # [pillar, nq, 3]
+    pts = np.concatenate([pts, np.ones_like(pts[..., :1])], axis=-1)
+    l2i = np.asarray(lidar2img, np.float32).reshape(cfg.num_cams, 4, 4)
+    cam = np.einsum("pqd,ced->pcqe", pts, l2i)
+    eps = 1e-5
+    z = cam[..., 2]
+    xy = cam[..., 0:2] / np.maximum(z, eps)[..., None]
+    u = xy[..., 0] / cfg.img_w
+    v = xy[..., 1] / cfg.img_h
+    inb = (z > eps) & (u > 0) & (u < 1) & (v > 0) & (v < 1)  # [pillar, cams, nq]
+    visible = inb.any(axis=0).sum(axis=1)  # [cams]
+    return visible, int(max(0, visible.max() - K))
+
+
 class BEVFormerLayer(nn.Module):
     """self_attn -> norm -> cross_attn -> norm -> ffn -> norm
     (operation_order, configs/bevformer/bevformer_base.py:114-121)."""
@@ -131,7 +163,7 @@ class BEVFormerLayer(nn.Module):
             hybrid_ref_2d,
             ((cfg.bev_h, cfg.bev_w),),
         )
-        query = nn.LayerNorm(name="norm1")(query).astype(dt)
+        query = nn.LayerNorm(epsilon=1e-5, name="norm1")(query).astype(dt)
         identity = query
 
         query = SpatialCrossAttention(
@@ -154,9 +186,9 @@ class BEVFormerLayer(nn.Module):
             spatial_shapes,
             compaction,
         )
-        query = nn.LayerNorm(name="norm2")(query).astype(dt)
+        query = nn.LayerNorm(epsilon=1e-5, name="norm2")(query).astype(dt)
         query = FFN(cfg.embed_dims, cfg.ffn_dims, quant=cfg.quant, name="ffn")(query)
-        return nn.LayerNorm(name="norm3")(query).astype(dt)
+        return nn.LayerNorm(epsilon=1e-5, name="norm3")(query).astype(dt)
 
 
 class BEVFormerEncoder(nn.Module):
@@ -196,7 +228,7 @@ class BEVFormerEncoder(nn.Module):
         # camera compaction is frame geometry — compute the per-camera top-K
         # ONCE and share it across every layer's cross-attention.
         compaction = None
-        K = min(nq, -(-int(nq * cfg.cam_budget) // 128) * 128)
+        K = min(nq, max(128, -(-int(nq * cfg.cam_budget) // 128) * 128))
         if K < nq:
             mask_flat = bev_mask.reshape(cfg.num_cams, nq)
             topv, topi = jax.lax.top_k(mask_flat, K)

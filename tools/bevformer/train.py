@@ -30,6 +30,22 @@ def main():
     ap.add_argument("--data-root", default=None)
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--quant-scales", default=None, help="enable QAT with these scales")
+    ap.add_argument(
+        "--temporal",
+        action="store_true",
+        help="temporal-queue training: sample queue-length consecutive "
+        "same-scene frames per clip, run the first queue-1 frames without "
+        "gradients to build prev_bev, train the last frame against it "
+        "(reference BEVFormer.forward_train + obtain_history_bev, "
+        "third_party/bev_mmdet3d/models/detectors/bevformer.py:168-192; "
+        "clip sampling = bevformer_dataset.py:31-84 queue_length=4)",
+    )
+    ap.add_argument("--queue-length", type=int, default=4,
+                    help="frames per temporal clip (reference queue_length=4)")
+    ap.add_argument("--encoder-layers", type=int, default=None,
+                    help="override encoder depth (smoke tests / ablations)")
+    ap.add_argument("--decoder-layers", type=int, default=None,
+                    help="override decoder depth (smoke tests / ablations)")
     ap.add_argument("--steps", type=int, default=1000)
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--out", default="checkpoints/bevformer.msgpack")
@@ -103,13 +119,19 @@ def main():
     from bevformer_tensorrt_tpu.train import (
         init_train_state,
         make_optimizer,
+        make_temporal_train_step,
         make_train_step,
     )
 
     qat = args.quant_scales is not None
     # msda_impl='jnp': the Pallas sorted-tap kernel is inference-only (no
     # VJP yet); the chunked XLA path is differentiable everywhere.
-    cfg = getattr(cfgs, f"bevformer_{args.model}")(quant=qat, msda_impl="jnp")
+    cfg_kw = {}
+    if args.encoder_layers is not None:
+        cfg_kw["encoder_layers"] = args.encoder_layers
+    if args.decoder_layers is not None:
+        cfg_kw["decoder_layers"] = args.decoder_layers
+    cfg = getattr(cfgs, f"bevformer_{args.model}")(quant=qat, msda_impl="jnp", **cfg_kw)
     model = BEVFormer(cfg)
     norm = IMG_NORM_PYTORCH if args.model in ("tiny", "micro") else IMG_NORM_CAFFE
     augment = None
@@ -152,12 +174,30 @@ def main():
 
     p_shard = param_shardings(mesh, params)
     params = jax.device_put(params, p_shard)
-    step_fn = jax.jit(make_train_step(model, cfg.num_classes, tx), donate_argnums=(0, 2))
+    if args.temporal:
+        step_fn = jax.jit(
+            make_temporal_train_step(
+                model, cfg.num_classes, tx, queue_length=args.queue_length
+            ),
+            donate_argnums=(0, 2),
+        )
+    else:
+        step_fn = jax.jit(
+            make_train_step(model, cfg.num_classes, tx), donate_argnums=(0, 2)
+        )
 
     def data_shardings(tree):
         return jax.tree.map(
             lambda x: NamedSharding(mesh, P("dp", *([None] * (np.ndim(x) - 1)))), tree
         )
+
+    def pad_gt(f):
+        gb = np.zeros((max_gt, 9), np.float32)
+        gl = np.full(max_gt, -1, np.int32)
+        k = min(len(f.gt_labels), max_gt)
+        gb[:k] = f.gt_boxes[:k]
+        gl[:k] = f.gt_labels[:k]
+        return gb, gl
 
     def batch_iter():
         """Per-host data sharding: every host shuffles with the same seed and
@@ -172,14 +212,46 @@ def main():
                 imgs, cbs, l2is, gbs, gls = [], [], [], [], []
                 for i in idx[s + proc * dp_local : s + (proc + 1) * dp_local]:
                     f = frames.frame(int(i))
-                    gb = np.zeros((max_gt, 9), np.float32)
-                    gl = np.full(max_gt, -1, np.int32)
-                    k = min(len(f.gt_labels), max_gt)
-                    gb[:k] = f.gt_boxes[:k]
-                    gl[:k] = f.gt_labels[:k]
+                    gb, gl = pad_gt(f)
                     imgs.append(f.image[0])
                     cbs.append(f.can_bus)
                     l2is.append(f.lidar2img)
+                    gbs.append(gb)
+                    gls.append(gl)
+                yield {
+                    "image": np.stack(imgs),
+                    "can_bus": np.stack(cbs),
+                    "lidar2img": np.stack(l2is),
+                    "gt_boxes": np.stack(gbs),
+                    "gt_labels": np.stack(gls),
+                }
+
+    def temporal_batch_iter():
+        """Clip batches for --temporal: each sample is a [T, ...] stack of
+        queue_length same-scene frames with relative can_bus deltas
+        (TemporalClipSampler = reference union2one, bevformer_dataset.py:66-84);
+        GT comes from the last frame only (obtain_history_bev trains only the
+        current frame, bevformer.py:168-192)."""
+        from bevformer_tensorrt_tpu.data.nuscenes import TemporalClipSampler
+
+        clips = TemporalClipSampler(frames, queue_length=args.queue_length)
+        if len(clips) < dp:
+            raise SystemExit(
+                f"--temporal needs >= dp ({dp}) clips of length "
+                f"{args.queue_length}; dataset has {len(clips)}"
+            )
+        idx = np.arange(len(clips))
+        rng = np.random.default_rng(0)
+        while True:
+            rng.shuffle(idx)
+            for s in range(0, len(idx) - dp + 1, dp):
+                imgs, cbs, l2is, gbs, gls = [], [], [], [], []
+                for k in idx[s + proc * dp_local : s + (proc + 1) * dp_local]:
+                    fr = clips.clip(int(k))
+                    gb, gl = pad_gt(fr[-1])
+                    imgs.append(np.stack([f.image[0] for f in fr]))
+                    cbs.append(np.stack([f.can_bus for f in fr]))
+                    l2is.append(np.stack([f.lidar2img for f in fr]))
                     gbs.append(gb)
                     gls.append(gl)
                 yield {
@@ -199,7 +271,7 @@ def main():
             lambda x, s: jax.make_array_from_process_local_data(s, x), batch, sh
         )
 
-    it = batch_iter()
+    it = temporal_batch_iter() if args.temporal else batch_iter()
     t0 = time.perf_counter()
     for step in range(args.steps):
         batch = put_batch(next(it))
