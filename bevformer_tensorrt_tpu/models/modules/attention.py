@@ -25,8 +25,8 @@ import jax.numpy as jnp
 from ...ops import (
     multi_head_attention,
     multi_scale_deformable_attn,
-    multi_scale_deformable_attn_sorted,
-    multi_scale_deformable_attn_sorted_qm,
+    multi_scale_deformable_attn_sorted_diff,
+    multi_scale_deformable_attn_sorted_qm_diff,
 )
 from ...quant.qdq import QDQ
 from ..layers import QDense
@@ -62,7 +62,8 @@ def resolve_msda_impl(name: str, quant=False):
     """
     if msda_impl_is_sorted(name):
         return functools.partial(
-            multi_scale_deformable_attn_sorted, packed=msda_packing(name, quant)
+            multi_scale_deformable_attn_sorted_diff,
+            packed=msda_packing(name, quant),
         )
     return multi_scale_deformable_attn
 
@@ -127,7 +128,7 @@ class TemporalSelfAttention(nn.Module):
             off_t = off_t.reshape(H, Q, L * P * 2, nq).transpose(1, 0, 2, 3)
             attn_t = attn_t.reshape(H, Q, L * P, nq).transpose(1, 0, 2, 3)
             ref_t = reference_points.reshape(Q, nq, 1, 2).transpose(0, 2, 3, 1)
-            out = multi_scale_deformable_attn_sorted_qm(
+            out = multi_scale_deformable_attn_sorted_qm_diff(
                 v_t,
                 ref_t,
                 off_t.reshape(Q, H * L * P * 2, nq),
@@ -231,7 +232,7 @@ class MSDeformableAttention3D(nn.Module):
                     H * L * P, quant=self.quant, name="attention_weights"
                 )(q_c, q_minor="out")                # [cams, H*L*P, K]
                 ref_t = ref_c.reshape(cams, K, ppg, 2).transpose(0, 2, 3, 1)
-                out_k = multi_scale_deformable_attn_sorted_qm(
+                out_k = multi_scale_deformable_attn_sorted_qm_diff(
                     v_t, ref_t, off_t, attn_t, spatial_shapes, num_heads=H,
                     packed=packed, out_dtype=query.dtype,
                 )  # [cams, K, C]

@@ -11,7 +11,9 @@ from .msda import (
     multi_scale_deformable_attn,
     multi_scale_deformable_attn_reference,
     multi_scale_deformable_attn_sorted,
+    multi_scale_deformable_attn_sorted_diff,
     multi_scale_deformable_attn_sorted_qm,
+    multi_scale_deformable_attn_sorted_qm_diff,
     msda_sampling_locations,
 )
 from .rotate import rotate
@@ -26,7 +28,9 @@ __all__ = [
     "grid_sampler",
     "multi_scale_deformable_attn",
     "multi_scale_deformable_attn_sorted",
+    "multi_scale_deformable_attn_sorted_diff",
     "multi_scale_deformable_attn_sorted_qm",
+    "multi_scale_deformable_attn_sorted_qm_diff",
     "msda_sampling_locations",
     "rotate",
     "bev_pool_v2",

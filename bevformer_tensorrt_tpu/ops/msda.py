@@ -677,6 +677,117 @@ def multi_scale_deformable_attn_sorted_qm(
     )
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _sorted_diff(static, value, reference_points, sampling_offsets, attention_weights):
+    (spatial_shapes, packed, key_groups, row_group) = static
+    return multi_scale_deformable_attn_sorted(
+        value, reference_points, sampling_offsets, attention_weights,
+        spatial_shapes, packed=packed, key_groups=key_groups,
+        row_group=row_group,
+    )
+
+
+def _sorted_diff_fwd(static, value, reference_points, sampling_offsets, attention_weights):
+    out = _sorted_diff(static, value, reference_points, sampling_offsets, attention_weights)
+    return out, (value, reference_points, sampling_offsets, attention_weights)
+
+
+def _sorted_diff_bwd(static, res, g):
+    (spatial_shapes, _packed, _kg, _rg) = static
+    value, reference_points, sampling_offsets, attention_weights = res
+
+    def f(v, r, o, a):
+        return multi_scale_deformable_attn(v, r, o, a, spatial_shapes).astype(g.dtype)
+
+    _, vjp = jax.vjp(f, value, reference_points, sampling_offsets, attention_weights)
+    return vjp(g)
+
+
+_sorted_diff.defvjp(_sorted_diff_fwd, _sorted_diff_bwd)
+
+
+def multi_scale_deformable_attn_sorted_diff(
+    value, reference_points, sampling_offsets, attention_weights,
+    spatial_shapes, packed=True, key_groups=None, row_group=None,
+):
+    """Differentiable q-major sorted MSDA: Pallas forward, XLA backward
+    (the VJP of the chunked jnp path — same contract, tap-exact forward
+    agreement).  See multi_scale_deformable_attn_sorted_qm_diff."""
+    static = (tuple(spatial_shapes), packed, key_groups, row_group)
+    return _sorted_diff(static, value, reference_points, sampling_offsets, attention_weights)
+
+
+def _qm_to_qmajor(value_t, ref_t, off_t, attn_t, spatial_shapes, num_heads):
+    """Invert the q-minor layout back to the q-major fused-op contract
+    (exact inverses of multi_scale_deformable_attn_sorted's reshapes)."""
+    bs = value_t.shape[0]
+    ch = value_t.shape[1] // num_heads
+    num_q = ref_t.shape[-1]
+    ppg = ref_t.shape[1]
+    L = len(spatial_shapes)
+    P = attn_t.shape[1] // (num_heads * L)
+    value = value_t.reshape(bs, num_heads, ch, -1).transpose(0, 3, 1, 2)
+    reference_points = ref_t.transpose(0, 3, 1, 2).reshape(bs, num_q, 1, ppg * 2)
+    sampling_offsets = off_t.reshape(bs, num_heads, L * P * 2, num_q).transpose(0, 3, 1, 2)
+    attention_weights = attn_t.reshape(bs, num_heads, L * P, num_q).transpose(0, 3, 1, 2)
+    return value, reference_points, sampling_offsets, attention_weights
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _sorted_qm_diff(static, value_t, ref_t, off_t, attn_t):
+    (spatial_shapes, num_heads, packed, key_groups, row_group, dt) = static
+    return multi_scale_deformable_attn_sorted_qm(
+        value_t, ref_t, off_t, attn_t, spatial_shapes, num_heads,
+        packed=packed, key_groups=key_groups, row_group=row_group,
+        out_dtype=jnp.dtype(dt),
+    )
+
+
+def _sorted_qm_diff_fwd(static, value_t, ref_t, off_t, attn_t):
+    return _sorted_qm_diff(static, value_t, ref_t, off_t, attn_t), (
+        value_t, ref_t, off_t, attn_t,
+    )
+
+
+def _sorted_qm_diff_bwd(static, res, g):
+    (spatial_shapes, num_heads, _packed, _kg, _rg, dt) = static
+    value_t, ref_t, off_t, attn_t = res
+
+    def f(v, r, o, a):
+        value, rp, so, aw = _qm_to_qmajor(v, r, o, a, spatial_shapes, num_heads)
+        return multi_scale_deformable_attn(
+            value, rp, so, aw, spatial_shapes
+        ).astype(jnp.dtype(dt))
+
+    _, vjp = jax.vjp(f, value_t, ref_t, off_t, attn_t)
+    return vjp(g)
+
+
+_sorted_qm_diff.defvjp(_sorted_qm_diff_fwd, _sorted_qm_diff_bwd)
+
+
+def multi_scale_deformable_attn_sorted_qm_diff(
+    value_t, ref_t, off_t, attn_t, spatial_shapes, num_heads,
+    packed=True, key_groups=None, row_group=None, out_dtype=jnp.bfloat16,
+):
+    """Differentiable sorted MSDA (VERDICT r2 item 5): the Pallas sorted-tap
+    kernel forward (inference speed) with an XLA backward — the VJP of the
+    chunked jnp path on the SAME q-minor operands.  The sorted forward is
+    tap-exact vs the jnp path (tests/test_pallas.py), so the gradients are
+    consistent; the reference trains through mmcv's ms_deform_attn_backward
+    CUDA kernel the same way (det2trt/models/functions/
+    multi_scale_deformable_attn.py:5-7).
+
+    Inference cost is unchanged (custom_vjp adds nothing to the primal); use
+    anywhere multi_scale_deformable_attn_sorted_qm is used.
+    """
+    static = (
+        tuple(spatial_shapes), num_heads, packed, key_groups, row_group,
+        jnp.dtype(out_dtype).name,
+    )
+    return _sorted_qm_diff(static, value_t, ref_t, off_t, attn_t)
+
+
 def _sorted_core(
     vt, refT, offT, attnT, spatial_shapes, num_heads,
     *, packed, interpret, key_groups, row_group, out_dtype,
@@ -774,11 +885,21 @@ def _sorted_core(
     # simpler one-block-per-program layout; MSDA_QBB>1 kept for A/B.
     qbb = min(int(os.environ.get("MSDA_QBB", "1")), QB)
 
+    # panels per sweep iteration: the multi-level cross-attention rows span
+    # ~10 panels per group (tools/span_study.py), and the per-iteration loop
+    # machinery is ~70ns of the ~150ns visit — 4 panels/iteration is ~1.45x
+    # at those spans (tools/kernel_bench3.py, v5e 2026-08-19).  Single-level
+    # callers (temporal BEV, decoder) have span ~1-2 where the over-sweep
+    # LOSES (span1: 463 vs 600 ns/group), so NP=1 there.  MSDA_NP overrides.
+    np_default = 4 if L > 1 else 1
+    npw = int(os.environ.get("MSDA_NP", "0")) or np_default
+
     if n_splits == 1:
         out = msda_gather_sorted(
             table, lane, m4, pmin, pspan,
             rows=rows, ch=ch, corners=4, packed=packed, interpret=interpret,
             row_group=rg, alive=alive, q_blocks=qbb, two_plane=two_plane,
+            panel_width=npw,
         )  # [B, ch, QB*128] f32 (channels already in order — half pairing)
     else:
         per = -(-panels_total // n_splits)
@@ -800,7 +921,7 @@ def _sorted_core(
                 table[:, :, h0 * 128 : h1 * 128], lane_h, m4, lo - h0, span_h,
                 rows=rows, ch=ch, corners=4, packed=packed,
                 interpret=interpret, row_group=rg, alive=alive_h,
-                q_blocks=qbb, two_plane=two_plane,
+                q_blocks=qbb, two_plane=two_plane, panel_width=npw,
             )
             out = part if out is None else out + part
     out = out.reshape(bs, num_heads, ch, QB * 128).transpose(0, 3, 1, 2)

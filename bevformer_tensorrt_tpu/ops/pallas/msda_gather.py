@@ -46,7 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 def _kernel(
     pmin_ref, pspan_ref, alive_ref, lane_ref, m4_ref, vt_ref3, o_ref,
     *, rows, ch, corners, packed, row_group, emit_rows=False, q_blocks=1,
-    two_plane=False,
+    two_plane=False, panel_width=1,
 ):
     """One grid step = `q_blocks` query blocks (128 queries each) of one
     (cam*head) table.
@@ -93,6 +93,7 @@ def _kernel(
                 qb, j, pmin_ref, pspan_ref, lane_ref, m4_ref, vt_ref3, o_ref,
                 hs, rows=rows, ch=ch, corners=corners, packed=packed,
                 row_group=row_group, emit_rows=emit_rows, two_plane=two_plane,
+                panel_width=panel_width,
             )
 
     if q_blocks == 1:
@@ -110,6 +111,7 @@ def _kernel(
 def _blend(
     qb, j, pmin_ref, pspan_ref, lane_ref, m4_ref, vt_ref3, o_ref, hs,
     *, rows, ch, corners, packed, row_group, emit_rows, two_plane=False,
+    panel_width=1,
 ):
     int8 = packed == "int8"
     sub = 4 if int8 else (2 if packed else 1)
@@ -147,16 +149,40 @@ def _blend(
             (lane_g >> 7).reshape(RG, LV, 1, 128), (RG, LV, SP * Hs, 128)
         ).reshape(RG * nrows, 128)
 
-        def visit(s, acc):
-            panel = vt_ref3[0, :, pl.ds(pl.multiple_of((base + s) * 128, 128), 128)]
-            pb = jnp.broadcast_to(
-                panel.reshape(1, 1, SP * Hs, 128), (RG, LV, SP * Hs, 128)
-            ).reshape(RG * nrows, 128)
-            gat = jnp.take_along_axis(pb, lane_mod, axis=1)
-            return jnp.where(panel_id == s, gat, acc)
+        NP = panel_width
+        if NP == 1:
+            def visit(s, acc):
+                panel = vt_ref3[0, :, pl.ds(pl.multiple_of((base + s) * 128, 128), 128)]
+                pb = jnp.broadcast_to(
+                    panel.reshape(1, 1, SP * Hs, 128), (RG, LV, SP * Hs, 128)
+                ).reshape(RG * nrows, 128)
+                gat = jnp.take_along_axis(pb, lane_mod, axis=1)
+                return jnp.where(panel_id == s, gat, acc)
 
-        zero = jnp.zeros((RG * nrows, 128), vt_ref3.dtype)
-        acc = lax.fori_loop(0, span, visit, zero)
+            zero = jnp.zeros((RG * nrows, 128), vt_ref3.dtype)
+            acc = lax.fori_loop(0, span, visit, zero)
+        else:
+            # NP panels per loop iteration: one wide table slice, NP gathers
+            # + selects — amortizes the ~70ns/iteration loop machinery
+            # (kernel_bench3: 4-panel is ~1.45x the 1-panel visit rate at
+            # cross-attention spans).  The caller pads the table key axis by
+            # (NP-1) panels so the widest slice stays in range.
+            def visit(i, acc):
+                s = i * NP
+                pw = vt_ref3[
+                    0, :, pl.ds(pl.multiple_of((base + s) * 128, 128), NP * 128)
+                ]
+                for k in range(NP):
+                    pk = jnp.broadcast_to(
+                        pw[:, k * 128 : (k + 1) * 128].reshape(1, 1, SP * Hs, 128),
+                        (RG, LV, SP * Hs, 128),
+                    ).reshape(RG * nrows, 128)
+                    gk = jnp.take_along_axis(pk, lane_mod, axis=1)
+                    acc = jnp.where(panel_id == s + k, gk, acc)
+                return acc
+
+            zero = jnp.zeros((RG * nrows, 128), vt_ref3.dtype)
+            acc = lax.fori_loop(0, (span + NP - 1) // NP, visit, zero)
 
         # unpack the table word into `sub` f32 channel planes:
         #   int8: byte j (msb first) = channel quarter j (sign-extended)
@@ -211,6 +237,7 @@ def _blend(
     static_argnames=(
         "rows", "ch", "corners", "packed", "interpret", "row_group",
         "emit_rows", "tap_share", "out_dtype", "q_blocks", "two_plane",
+        "panel_width",
     ),
 )
 def msda_gather_sorted(
@@ -231,6 +258,7 @@ def msda_gather_sorted(
     alive: jax.Array | None = None,  # [Bt, QB] i32; 0 = all-zero block (skip)
     q_blocks: int = 1,  # query blocks per program (amortizes program cost)
     two_plane: bool = False,  # table stores (k, k+W) only; lane has 2 variants
+    panel_width: int = 1,  # panels per sweep iteration (4 for wide-span rows)
 ) -> jax.Array:
     """Returns [B, ch, QB*128] f32.
 
@@ -257,6 +285,11 @@ def msda_gather_sorted(
     grid b indices (channel groups of one image) share entry b // G — the
     caller avoids materializing G broadcast copies of the tap tensors.
     """
+    if panel_width > 1 and two_plane:
+        panel_width = 1  # two-plane keeps the single-panel sweep (A/B path)
+    if panel_width > 1:
+        # headroom so the widest NP-panel slice never leaves the table
+        table = jnp.pad(table, ((0, 0), (0, 0), (0, (panel_width - 1) * 128)))
     B, CHT, HWp = table.shape
     QB = lane.shape[1]
     ng = rows // row_group
@@ -306,7 +339,7 @@ def msda_gather_sorted(
         functools.partial(
             _kernel, rows=rows, ch=ch, corners=corners, packed=packed,
             row_group=row_group, emit_rows=emit_rows, q_blocks=QBB,
-            two_plane=two_plane,
+            two_plane=two_plane, panel_width=panel_width,
         ),
         grid=(B, QBp // QBB),
         in_specs=[

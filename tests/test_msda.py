@@ -145,3 +145,107 @@ def test_msda_default_chunk_at_scale(rng):
     a = multi_scale_deformable_attn(value, ref, off, weights, spatial_shapes)
     b = torch_msda_oracle(value, spatial_shapes, ref, off, weights)
     assert np.abs(np.asarray(a, np.float64) - b).mean() < 1e-5
+
+
+def test_sorted_qm_vjp_matches_jnp_grad(rng):
+    """VERDICT r2 item 5: jax.grad through the sorted path (custom_vjp —
+    Pallas forward, XLA backward) must match jax.grad through the jnp path
+    on the same q-minor operands (interpret mode off-TPU)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bevformer_tensorrt_tpu.ops import (
+        multi_scale_deformable_attn_sorted_qm_diff,
+    )
+    from bevformer_tensorrt_tpu.ops.msda import _qm_to_qmajor
+
+    bs, heads, ch = 2, 4, 32
+    spatial_shapes = ((12, 20), (6, 10))
+    L = len(spatial_shapes)
+    ppg = 2
+    P = 2 * ppg
+    num_keys = sum(h * w for h, w in spatial_shapes)
+    num_q = 64
+
+    value_t = jnp.asarray(rng.standard_normal((bs, heads * ch, num_keys)), jnp.float32)
+    ref_t = jnp.asarray(rng.uniform(0.05, 0.95, (bs, ppg, 2, num_q)), jnp.float32)
+    off_t = jnp.asarray(rng.standard_normal((bs, heads * L * P * 2, num_q)) * 2, jnp.float32)
+    attn_t = jnp.asarray(rng.standard_normal((bs, heads * L * P, num_q)), jnp.float32)
+    cot = jnp.asarray(rng.standard_normal((bs, num_q, heads * ch)), jnp.float32)
+
+    def loss_sorted(v, r, o, a):
+        out = multi_scale_deformable_attn_sorted_qm_diff(
+            v, r, o, a, spatial_shapes, heads, packed=False, out_dtype=jnp.float32
+        )
+        return (out * cot).sum()
+
+    def loss_jnp(v, r, o, a):
+        value, rp, so, aw = _qm_to_qmajor(v, r, o, a, spatial_shapes, heads)
+        out = multi_scale_deformable_attn(value, rp, so, aw, spatial_shapes)
+        return (out * cot).sum()
+
+    # forward parity first (fp32 tables are tap-exact; elementwise — the
+    # scalar losses differ by fp32 summation order)
+    out_s = multi_scale_deformable_attn_sorted_qm_diff(
+        value_t, ref_t, off_t, attn_t, spatial_shapes, heads,
+        packed=False, out_dtype=jnp.float32,
+    )
+    v_, rp_, so_, aw_ = _qm_to_qmajor(
+        value_t, ref_t, off_t, attn_t, spatial_shapes, heads
+    )
+    out_j = multi_scale_deformable_attn(v_, rp_, so_, aw_, spatial_shapes)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_j), rtol=2e-5, atol=2e-6)
+    gs = jax.grad(loss_sorted, argnums=(0, 1, 2, 3))(value_t, ref_t, off_t, attn_t)
+    gj = jax.grad(loss_jnp, argnums=(0, 1, 2, 3))(value_t, ref_t, off_t, attn_t)
+    for name, a, b in zip(("value", "ref", "off", "attn"), gs, gj):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5, err_msg=name
+        )
+
+
+def test_sorted_model_grad_runs(rng):
+    """jax.grad through a micro BEVFormer with msda_impl='sorted_f32' is
+    finite and close to the jnp path's gradient (in-model VJP wiring)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bevformer_tensorrt_tpu.configs.bevformer import bevformer_micro
+    from bevformer_tensorrt_tpu.models.detectors.bevformer import BEVFormer
+
+    cfgs = {
+        "jnp": bevformer_micro(encoder_layers=1, decoder_layers=1, msda_impl="jnp"),
+        "sorted": bevformer_micro(
+            encoder_layers=1, decoder_layers=1, msda_impl="sorted_f32"
+        ),
+    }
+    nq = cfgs["jnp"].bev_h * cfgs["jnp"].bev_w
+    cfg = cfgs["jnp"]
+    image = jnp.asarray(
+        rng.standard_normal((1, cfg.num_cams, 3, cfg.img_h, cfg.img_w)), jnp.float32
+    )
+    prev = jnp.zeros((nq, 1, cfg.embed_dims), jnp.float32)
+    can_bus = jnp.zeros(cfg.can_bus_dims, jnp.float32)
+    l2i = np.tile(np.eye(4, dtype=np.float32), (1, cfg.num_cams, 1, 1))
+    l2i[..., 0, 0] = l2i[..., 1, 1] = cfg.img_w / 2
+    l2i = jnp.asarray(l2i)
+
+    model_j = BEVFormer(cfgs["jnp"])
+    variables = model_j.init(jax.random.PRNGKey(0), image, prev, jnp.float32(1.0), can_bus, l2i)
+
+    grads = {}
+    for name, c in cfgs.items():
+        m = BEVFormer(c)
+
+        def loss(params):
+            _, classes, _ = m.apply(
+                {**variables, "params": params}, image, prev, jnp.float32(1.0),
+                can_bus, l2i,
+            )
+            return (classes.astype(jnp.float32) ** 2).sum()
+
+        grads[name] = jax.grad(loss)(variables["params"])
+    flat_j = jax.tree.leaves(grads["jnp"])
+    flat_s = jax.tree.leaves(grads["sorted"])
+    for a, b in zip(flat_j, flat_s):
+        assert np.isfinite(np.asarray(b)).all()
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=5e-3, atol=5e-5)

@@ -46,6 +46,13 @@ def main():
                     help="override encoder depth (smoke tests / ablations)")
     ap.add_argument("--decoder-layers", type=int, default=None,
                     help="override decoder depth (smoke tests / ablations)")
+    ap.add_argument(
+        "--msda-impl", default="jnp", choices=["jnp", "sorted", "sorted_f32"],
+        help="MSDA forward for training: 'sorted' = the Pallas sorted-tap "
+        "inference kernel (now differentiable via the XLA backward, "
+        "ops/msda.py multi_scale_deformable_attn_sorted_qm_diff); 'jnp' = "
+        "chunked XLA forward+backward (default — safest everywhere)",
+    )
     ap.add_argument("--steps", type=int, default=1000)
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--out", default="checkpoints/bevformer.msgpack")
@@ -124,14 +131,14 @@ def main():
     )
 
     qat = args.quant_scales is not None
-    # msda_impl='jnp': the Pallas sorted-tap kernel is inference-only (no
-    # VJP yet); the chunked XLA path is differentiable everywhere.
     cfg_kw = {}
     if args.encoder_layers is not None:
         cfg_kw["encoder_layers"] = args.encoder_layers
     if args.decoder_layers is not None:
         cfg_kw["decoder_layers"] = args.decoder_layers
-    cfg = getattr(cfgs, f"bevformer_{args.model}")(quant=qat, msda_impl="jnp", **cfg_kw)
+    cfg = getattr(cfgs, f"bevformer_{args.model}")(
+        quant=qat, msda_impl=args.msda_impl, **cfg_kw
+    )
     model = BEVFormer(cfg)
     norm = IMG_NORM_PYTORCH if args.model in ("tiny", "micro") else IMG_NORM_CAFFE
     augment = None
