@@ -810,11 +810,21 @@ def _sorted_core(
     sub = 4 if packed == "int8" else (2 if packed else 1)
 
     # two-plane tables: half the VMEM per table block at identical
-    # per-visit gather cost on paper — but MEASURED slower on v5e
-    # (1.73 vs 1.91 FPS base bf16, ab_kernel_layouts 2026-08-19: the
-    # dual-lane gather's extra row-combine work beats the VMEM saving),
-    # so 4-plane is the default and MSDA_TWO_PLANE=1 is the A/B override.
-    two_plane = os.environ.get("MSDA_TWO_PLANE", "0") == "1"
+    # per-visit gather cost on paper — MEASURED slower on v5e when applied
+    # globally (1.73 vs 1.91 FPS base bf16, ab_kernel_layouts 2026-08-19:
+    # the dual-lane gather's extra row-combine work beats the VMEM saving)
+    # — EXCEPT when halving the table avoids a key-range split entirely:
+    # the temporal self-attention table (10.3 MB 4-plane at base) otherwise
+    # runs every query block through TWO kernel passes.  Auto rule: use
+    # two-plane iff the 4-plane block would split and the 2-plane one fits.
+    # MSDA_TWO_PLANE=0/1 still forces either layout for A/B.
+    env_tp = os.environ.get("MSDA_TWO_PLANE", "")
+    keys_pad = sum((h * w + (-(h * w)) % 128) for h, w in spatial_shapes)
+    blk4 = (4 * ch // sub) * keys_pad * 4
+    if env_tp:
+        two_plane = env_tp == "1"
+    else:
+        two_plane = blk4 > 8_000_000 and blk4 // 2 <= 8_000_000
 
     table, level_base, scale = _pack_tables_from_vt(
         vt, spatial_shapes, packed, planes=2 if two_plane else 4

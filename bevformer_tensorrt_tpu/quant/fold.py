@@ -49,3 +49,22 @@ def fold_int8_weights(variables: dict) -> dict:
     out = dict(variables)
     out["quant"] = traverse_util.unflatten_dict(quant)
     return out
+
+
+def attach_quant_scales(variables: dict, quant_tree: dict) -> dict:
+    """Attach a loaded scale-dict to `variables`, re-folding the int8
+    weights from the CURRENT params.
+
+    A scale checkpoint carries (wq, wscale) folded from the params that
+    existed at calibration time; evaluating a different checkpoint (e.g. a
+    QAT-finetuned one) with those entries would silently run the stale
+    pre-QAT weights.  Strip them and re-fold — idempotent when the params
+    are unchanged."""
+    flat = {
+        p: v
+        for p, v in traverse_util.flatten_dict(quant_tree).items()
+        if p[-1] not in ("wq", "wscale")
+    }
+    return fold_int8_weights(
+        {**variables, "quant": traverse_util.unflatten_dict(flat)}
+    )

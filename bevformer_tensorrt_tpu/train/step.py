@@ -141,6 +141,7 @@ def make_train_step(
     model: Any,
     num_classes: int,
     tx: optax.GradientTransformation,
+    quant_vars: Any = None,
 ) -> Callable:
     """Build the jittable train step.
 
@@ -152,13 +153,21 @@ def make_train_step(
       gt_labels  [B, max_gt]
     Single-frame training (use_prev_bev=0) — the temporal queue variant adds
     a no-grad history pass (reference obtain_history_bev) later.
+
+    quant_vars: calibrated scale collection for QAT — without it the QDQ
+    sites are identity and "QAT" would silently train plain fp (the
+    reference's TensorQuantizers carry calibrated amax the same way,
+    samples/bevformer/base/quant_max_ptq.sh -> quant_aware_train.sh).
     """
 
     def per_sample(params, batch_stats, image, can_bus, lidar2img, gt_boxes, gt_labels):
         nq_bev = model.cfg.bev_h * model.cfg.bev_w
         prev_bev = jnp.zeros((nq_bev, 1, model.cfg.embed_dims), jnp.float32)
+        variables = {"params": params, "batch_stats": batch_stats}
+        if quant_vars is not None:
+            variables["quant"] = quant_vars
         _, classes, coords = model.apply(
-            {"params": params, "batch_stats": batch_stats},
+            variables,
             image[None],
             prev_bev,
             jnp.float32(0.0),
@@ -204,6 +213,7 @@ def make_temporal_train_step(
     num_classes: int,
     tx: optax.GradientTransformation,
     queue_length: int = 4,
+    quant_vars: Any = None,
 ) -> Callable:
     """Temporal-queue training step (reference BEVFormer.forward_train +
     obtain_history_bev, third_party/bev_mmdet3d/models/detectors/
@@ -223,6 +233,8 @@ def make_temporal_train_step(
         cfg = model.cfg
         nq_bev = cfg.bev_h * cfg.bev_w
         variables = {"params": params, "batch_stats": batch_stats}
+        if quant_vars is not None:
+            variables["quant"] = quant_vars
         prev_bev = jnp.zeros((nq_bev, 1, cfg.embed_dims), jnp.float32)
         use_prev = jnp.float32(0.0)
         # history pass, no grad (static unroll: T-1 frames)
@@ -254,7 +266,12 @@ def make_temporal_train_step(
         )
         num_pos = jnp.maximum(out["num_pos"].sum(), 1.0)
         loss = (out["cls_sum"].sum() + out["bbox_sum"].sum()) / num_pos
-        return loss, {"loss": loss, "num_pos": num_pos}
+        return loss, {
+            "loss": loss,
+            "loss_cls": out["cls_sum"].sum() / num_pos,
+            "loss_bbox": out["bbox_sum"].sum() / num_pos,
+            "num_pos": num_pos,
+        }
 
     def train_step(params, batch_stats, opt_state, batch):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -86,7 +86,11 @@ def main():
         variables = load_variables(args.checkpoint, variables, family=family, cfg=cfg)
     if args.quant_scales:
         scales = load_checkpoint(args.quant_scales)
-        variables = {**variables, "quant": scales["quant"]}
+        from bevformer_tensorrt_tpu.quant.fold import attach_quant_scales
+
+        # re-fold int8 weights from THIS checkpoint's params (the scale
+        # artifact's folded weights are stale for a QAT-finetuned model)
+        variables = attach_quant_scales(variables, scales["quant"])
 
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)

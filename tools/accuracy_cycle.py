@@ -1,0 +1,129 @@
+"""Full accuracy pipeline at real deploy shapes on synthetic data
+(VERDICT r2 item 3): train -> fp eval -> entropy calibrate -> int8 eval ->
+QAT -> int8 eval, committing the NDS numbers as an artifact.
+
+The reference's acceptance test is NDS on nuScenes val with <= 0.003 drop at
+INT8 (README.md:51-65).  Real nuScenes is absent from this environment, so
+this proves the PIPELINE at the tiny tier's REAL deploy shapes (480x800,
+6 cams, 50x50 BEV) on a generated synthetic set: the model overfits the
+clips, and the int8/QAT evals run against the fp model's own NDS.
+
+Usage:
+  python tools/accuracy_cycle.py [--model tiny] [--frames 16] [--steps 200] \
+      [--qat-steps 30] [--out ACCURACY_r3.json] [--workdir /tmp/acc_cycle]
+
+Every stage is a subprocess of the real CLI (train/evaluate/calibrate) —
+this is also an end-to-end drive of the tool surface.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def run(cmd, log, timeout=7200):
+    print(f"+ {' '.join(map(str, cmd))}", file=sys.stderr, flush=True)
+    with open(log, "w") as f:
+        r = subprocess.run(list(map(str, cmd)), stdout=f, stderr=subprocess.STDOUT,
+                           timeout=timeout)
+    if r.returncode != 0:
+        tail = Path(log).read_text()[-3000:]
+        raise SystemExit(f"step failed ({cmd[1]}):\n{tail}")
+    return Path(log).read_text()
+
+
+def last_json(text):
+    for line in reversed(text.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise SystemExit("no JSON line found in output")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="tiny", choices=["micro", "tiny", "small"])
+    ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--qat-steps", type=int, default=30)
+    ap.add_argument("--lr", type=float, default=4e-4)
+    ap.add_argument("--msda-impl", default="sorted")
+    ap.add_argument("--out", default="ACCURACY_r3.json")
+    ap.add_argument("--workdir", default="/tmp/acc_cycle")
+    args = ap.parse_args()
+
+    wd = Path(args.workdir)
+    wd.mkdir(parents=True, exist_ok=True)
+    synth = wd / "synth"
+    infos = synth / "nuscenes_infos_synthetic.pkl"
+    py = sys.executable
+    t0 = time.time()
+
+    if args.model == "micro":
+        shape = ["--cams", "2", "--width", "160", "--height", "96"]
+    else:
+        shape = ["--cams", "6", "--width", "800", "--height", "480"]
+    run([py, REPO / "tools/make_synthetic_nuscenes.py", synth,
+         "--frames", args.frames, *shape], wd / "00_data.log")
+
+    ckpt = wd / "fp.msgpack"
+    run([py, REPO / "tools/bevformer/train.py", args.model,
+         "--infos", infos, "--data-root", synth,
+         "--steps", args.steps, "--lr", args.lr, "--no-augment",
+         "--msda-impl", args.msda_impl, "--log-every", "20",
+         "--save-every", "0", "--out", ckpt], wd / "01_train.log")
+
+    fp = last_json(run([py, REPO / "tools/bevformer/evaluate.py", args.model,
+                        "--infos", infos, "--data-root", synth,
+                        "--checkpoint", ckpt], wd / "02_eval_fp.log"))
+
+    scales = wd / "scales.msgpack"
+    run([py, REPO / "tools/bevformer/calibrate.py", args.model,
+         "--infos", infos, "--data-root", synth, "--checkpoint", ckpt,
+         "--length", args.frames, "--method", "entropy", "--out", scales],
+        wd / "03_calibrate.log")
+
+    ptq = last_json(run([py, REPO / "tools/bevformer/evaluate.py", args.model,
+                         "--infos", infos, "--data-root", synth,
+                         "--checkpoint", ckpt, "--quant-scales", scales,
+                         "--quant", "int8"], wd / "04_eval_int8.log"))
+
+    qat_ckpt = wd / "qat.msgpack"
+    run([py, REPO / "tools/bevformer/train.py", args.model,
+         "--infos", infos, "--data-root", synth,
+         "--steps", args.qat_steps, "--no-augment", "--log-every", "10",
+         "--checkpoint", ckpt, "--quant-scales", scales,
+         "--msda-impl", "jnp", "--save-every", "0", "--out", qat_ckpt],
+        wd / "05_qat.log")
+
+    qat = last_json(run([py, REPO / "tools/bevformer/evaluate.py", args.model,
+                         "--infos", infos, "--data-root", synth,
+                         "--checkpoint", qat_ckpt, "--quant-scales", scales,
+                         "--quant", "int8"], wd / "06_eval_qat_int8.log"))
+
+    rec = {
+        "model": args.model,
+        "frames": args.frames,
+        "train_steps": args.steps,
+        "qat_steps": args.qat_steps,
+        "fp": fp,
+        "int8_ptq": ptq,
+        "int8_qat": qat,
+        "nds_drop_ptq": round(fp["NDS"] - ptq["NDS"], 4),
+        "nds_drop_qat": round(fp["NDS"] - qat["NDS"], 4),
+        "reference_envelope": "int8 drop <= 0.003 NDS on real nuScenes "
+        "(README.md:51-65); synthetic-overfit analogue",
+        "wall_s": round(time.time() - t0, 1),
+    }
+    Path(args.out).write_text(json.dumps(rec, indent=1))
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()

@@ -179,18 +179,26 @@ def main():
         )
         params, batch_stats = ckpt["params"], ckpt["batch_stats"]
 
+    quant_vars = None
+    if qat:
+        # calibrated scales drive the QDQ fake-quant sites; without them the
+        # sites are identity and "QAT" would silently train plain fp
+        quant_vars = load_checkpoint(args.quant_scales)["quant"]
+
     p_shard = param_shardings(mesh, params)
     params = jax.device_put(params, p_shard)
     if args.temporal:
         step_fn = jax.jit(
             make_temporal_train_step(
-                model, cfg.num_classes, tx, queue_length=args.queue_length
+                model, cfg.num_classes, tx, queue_length=args.queue_length,
+                quant_vars=quant_vars,
             ),
             donate_argnums=(0, 2),
         )
     else:
         step_fn = jax.jit(
-            make_train_step(model, cfg.num_classes, tx), donate_argnums=(0, 2)
+            make_train_step(model, cfg.num_classes, tx, quant_vars=quant_vars),
+            donate_argnums=(0, 2),
         )
 
     def data_shardings(tree):

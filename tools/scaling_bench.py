@@ -34,6 +34,11 @@ def main():
 
     import jax
 
+    # honor an explicit platform BEFORE the backend initializes — flipping
+    # jax_platforms after a devices() call leaves default_backend() on the
+    # first platform, and the sorted kernel's interpret fallback keys off it
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     if len(jax.devices()) < max(args.devices):
         jax.config.update("jax_platforms", "cpu")
 
@@ -46,7 +51,9 @@ def main():
     from bevformer_tensorrt_tpu.parallel import make_mesh, param_shardings
     from bevformer_tensorrt_tpu.train import init_train_state, make_optimizer, make_train_step
 
-    cfg = bevformer_micro()
+    # jnp MSDA: this harness measures sharding/collective structure, not
+    # kernels — the differentiable XLA path compiles on every backend
+    cfg = bevformer_micro(msda_impl="jnp")
     model = BEVFormer(cfg)
     tx = make_optimizer()
     results = {}
