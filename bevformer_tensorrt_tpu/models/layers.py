@@ -85,12 +85,16 @@ class QDense(nn.Module):
         q_minor='out' takes q-MAJOR input and emits q-minor output
         (x [..., q, f_in] -> y [..., f_out, q]): one dot_general, so callers
         skip materializing the transposed INPUT too (the temporal/cross
-        attention value and query-cat tensors).  Parameters are identical in
-        all orientations (kernel [f_in, f_out]).
+        attention value and query-cat tensors).  q_minor='in' is the
+        inverse: q-MINOR input, q-MAJOR output (x [..., f_in, q] ->
+        y [..., q, f_out]) — consumes a kernel's query-minor output without
+        a relayout (the sorted MSDA op's output_proj).  Parameters are
+        identical in all orientations (kernel [f_in, f_out]).
         """
         f_in = x.shape[-1] if q_minor == "out" else (
             x.shape[-2] if q_minor else x.shape[-1]
         )
+        qm_out = q_minor in (True, "out")  # output orientation is q-minor
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (f_in, self.features), jnp.float32
         )
@@ -98,6 +102,8 @@ class QDense(nn.Module):
         def mm(xv, kv, **kw):
             if q_minor == "out":
                 return jnp.einsum("fo,...qf->...oq", kv, xv, **kw)
+            if q_minor == "in":
+                return jnp.einsum("fo,...fq->...qo", kv, xv, **kw)
             if q_minor:
                 return jnp.einsum("fo,...fq->...oq", kv, xv, **kw)
             return jax.lax.dot_general(
@@ -105,7 +111,7 @@ class QDense(nn.Module):
             )
 
         def badd(y, bias):
-            return y + (bias[:, None] if q_minor else bias)
+            return y + (bias[:, None] if qm_out else bias)
 
         if self.quant:
             x_scaled, s_in = QDQ(name="qdq_in", with_scale=True)(x)
@@ -125,7 +131,7 @@ class QDense(nn.Module):
                     ).astype(jnp.int8)
                 acc = mm(xq, wq, preferred_element_type=jnp.int32)
                 y = acc.astype(jnp.float32) * (
-                    s_in * (w_scale[:, None] if q_minor else w_scale)
+                    s_in * (w_scale[:, None] if qm_out else w_scale)
                 )
                 if self.use_bias:
                     bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)

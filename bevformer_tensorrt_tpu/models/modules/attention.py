@@ -137,7 +137,11 @@ class TemporalSelfAttention(nn.Module):
                 num_heads=H,
                 packed=packed,
                 out_dtype=query.dtype,
-            )  # [Q, Nq, C]
+            )  # [Q, Nq, C] — q-minor output + q_minor='in' proj measured
+            # SLOWER on v5e (482.5 vs 480.1 ms base; out_q_minor kept for A/B)
+            out = out.mean(axis=0, keepdims=True)  # fuse history & current
+            out = QDense(C, quant=self.quant, name="output_proj")(out)
+            return out + (query if identity is None else identity)
         else:
             # concat prev-frame BEV with the (pos-augmented) query
             qcat = jnp.concatenate([value[0:1], query], axis=-1)  # [1, Nq, 2C]
@@ -156,9 +160,9 @@ class TemporalSelfAttention(nn.Module):
                 v, reference_points.reshape(Q, nq, 1, 2), off, attn,
                 spatial_shapes,
             )  # [Q, Nq, C]
-        out = out.mean(axis=0, keepdims=True)  # fuse history & current
-        out = QDense(C, quant=self.quant, name="output_proj")(out)
-        return out + (query if identity is None else identity)
+            out = out.mean(axis=0, keepdims=True)  # fuse history & current
+            out = QDense(C, quant=self.quant, name="output_proj")(out)
+            return out + (query if identity is None else identity)
 
 
 class MSDeformableAttention3D(nn.Module):
@@ -182,6 +186,14 @@ class MSDeformableAttention3D(nn.Module):
     cam_budget: float = 0.5  # fraction of queries processed per camera
     quant: bool = False
     msda_impl: str = "auto"
+
+    def _out_q_minor(self) -> bool:
+        """Output orientation.  The machinery for a query-minor ([.., C, nq])
+        output + q_minor='in' output_proj exists, but q-major measured FASTER
+        here on v5e (489 vs 480 ms base bf16): the compaction scatter wants
+        row-major rows, and XLA folds the op-output relayout well.  The
+        temporal self-attention (no scatter) does keep its q-minor output."""
+        return False
 
     @nn.compact
     def __call__(
@@ -236,6 +248,16 @@ class MSDeformableAttention3D(nn.Module):
                     v_t, ref_t, off_t, attn_t, spatial_shapes, num_heads=H,
                     packed=packed, out_dtype=query.dtype,
                 )  # [cams, K, C]
+                # q-major row scatter (measured: a q-minor per-camera
+                # minor-axis scatter is SLOWER on v5e than this single
+                # row scatter + the op's output relayout)
+                weighted = (out_k * topv[..., None]).astype(out_k.dtype)
+                slots = (
+                    jnp.zeros((nq, C), out_k.dtype)
+                    .at[topi.reshape(-1)]
+                    .add(weighted.reshape(-1, C), mode="drop")
+                )
+                return slots[None].swapaxes(-1, -2) if self._out_q_minor() else slots[None]
             else:
                 v = QDense(C, quant=self.quant, name="value_proj")(value)
                 v = v.reshape(cams, -1, H, C // H)
@@ -256,7 +278,7 @@ class MSDeformableAttention3D(nn.Module):
                 .at[topi.reshape(-1)]
                 .add(weighted.reshape(-1, C), mode="drop")
             )
-            return slots[None]
+            return slots[None].swapaxes(-1, -2) if self._out_q_minor() else slots[None]
 
         v = QDense(C, quant=self.quant, name="value_proj")(value)
         v = v.reshape(cams, -1, H, C // H)
@@ -272,7 +294,8 @@ class MSDeformableAttention3D(nn.Module):
             jnp.broadcast_to(attn[None], (cams, nq, H, L * P)),
             spatial_shapes,
         )
-        return (out * bev_mask).sum(axis=0, keepdims=True)
+        out = (out * bev_mask).sum(axis=0, keepdims=True)
+        return out.swapaxes(-1, -2) if self._out_q_minor() else out
 
 
 class SpatialCrossAttention(nn.Module):
@@ -321,7 +344,12 @@ class SpatialCrossAttention(nn.Module):
             compaction,
         )
 
-        slots = QDense(self.embed_dims, quant=self.quant, name="output_proj")(slots)
+        # orientation follows the child's (q-minor machinery kept for A/B;
+        # MSDeformableAttention3D._out_q_minor currently pins q-major)
+        qmin = MSDeformableAttention3D(msda_impl=self.msda_impl)._out_q_minor()
+        slots = QDense(self.embed_dims, quant=self.quant, name="output_proj")(
+            slots, q_minor="in" if qmin else False
+        )
         return slots + inp_residual
 
 

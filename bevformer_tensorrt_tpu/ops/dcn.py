@@ -174,17 +174,21 @@ def _dcn_pallas(
         key = jnp.pad(key, ((0, 0), (0, 0), (0, q_pad)), mode="edge")
         m4 = jnp.pad(m4, ((0, 0), (0, 0), (0, 0), (0, q_pad)))
 
-    key = key.reshape(N, rows, QB, 128).transpose(0, 2, 1, 3)  # [N, QB, rows, 128]
-    m4 = m4.reshape(N, rows, 4, QB, 128).transpose(0, 3, 1, 2, 4)
+    # lane/m4 stay query-minor ([N, rows, (4,) QB*128]) — the kernel's
+    # BlockSpec slices 128-lane windows, so no relayout here
+    qp = QB * 128
 
     # one kernel row (kw taps, same y) per union sweep: measured faster than
     # rg=1 at every ch_group — the taps' windows overlap by construction
     rg = kw if rows % kw == 0 else 1
+    ng = rows // rg
     panel = key // 128
-    pg = panel.reshape(N, QB, rows // rg, rg * 128)
-    pmin = pg.min(-1).astype(jnp.int32)
-    pspan = (pg.max(-1).astype(jnp.int32) - pmin + 1)
-    lane = (key - jnp.repeat(pmin, rg, axis=2)[..., None] * 128).astype(jnp.int32)
+    pg = panel.reshape(N, ng, rg, QB, 128)
+    pmin = pg.min(axis=(2, 4)).astype(jnp.int32).transpose(0, 2, 1)  # [N, QB, ng]
+    pspan = (pg.max(axis=(2, 4)).astype(jnp.int32).transpose(0, 2, 1) - pmin + 1)
+    pm = jnp.repeat(pmin.transpose(0, 2, 1), rg, axis=1)  # [N, rows, QB]
+    pm = jnp.broadcast_to(pm[..., None], (N, rows, QB, 128)).reshape(N, rows, qp)
+    lane = (key - pm * 128).astype(jnp.int32)
 
     mm_dtype = jnp.bfloat16 if packed else f32
     im = msda_gather_sorted(

@@ -497,8 +497,10 @@ def _prep_taps_qminor(
     union both variants (+1 panel only when a group's max key sits on a
     panel edge — ~1/128 of groups).
 
-    Returns lane [B, QB, rows, (2,) 128] i32, m4 [B, QB, rows, 4, 128] f32,
-    pmin/pspan [B, QB, rows//row_group] i32.
+    Returns lane [B, rows, (2,) QB*128] i32, m4 [B, rows, 4, QB*128] f32,
+    pmin/pspan [B, QB, rows//row_group] i32 — lane/m4 stay query-minor with
+    the block axis folded into lanes, i.e. exactly the layout the projection
+    outputs arrive in, so the prep does NO relayout of its two big tensors.
     """
     bs, num_heads_, L = offT.shape[:3]
     num_q = refT.shape[-1]
@@ -546,8 +548,10 @@ def _prep_taps_qminor(
         m4s.append(m4)
     key = jnp.stack(lanes, axis=2)  # [bs, h, L, P, qp]
     m4 = jnp.stack(m4s, axis=2)     # [bs, h, L, P, 4, qp]
-    key = key.reshape(B, rows, QB, 128).transpose(0, 2, 1, 3)
-    m4 = m4.reshape(B, rows, 4, QB, 128).transpose(0, 3, 1, 2, 4)
+    # query-minor kernel layout, NO relayout: the QB axis stays folded into
+    # the minor (lane) axis — the kernel's BlockSpec slices 128-lane windows
+    key = key.reshape(B, rows, qp)
+    m4 = m4.reshape(B, rows, 4, qp)
 
     if two_plane:
         # second lane variant: key+1 (the +1 corners), clamped into the
@@ -556,23 +560,30 @@ def _prep_taps_qminor(
             -(-spatial_shapes[-1][0] * spatial_shapes[-1][1] // 128) * 128
         )
         key = jnp.stack(
-            [key, jnp.minimum(key + 1, total_keys - 1)], axis=3
-        )  # [B, QB, rows, 2, 128]
+            [key, jnp.minimum(key + 1, total_keys - 1)], axis=2
+        )  # [B, rows, 2, qp]
 
+    ng = rows // row_group
     panel = key // 128
-    pg = panel.reshape(B, QB, rows // row_group, -1)
-    pmin = pg.min(-1).astype(jnp.int32)
-    pspan = (pg.max(-1).astype(jnp.int32) - pmin + 1)
+    # per (group, query-block) stats: [B, ng, rg(*LV), QB, 128] -> [B, QB, ng]
+    pg = panel.reshape(B, ng, -1, QB, 128)
+    pmin = pg.min(axis=(2, 4)).astype(jnp.int32).transpose(0, 2, 1)
+    pmax = pg.max(axis=(2, 4)).astype(jnp.int32).transpose(0, 2, 1)
+    pspan = pmax - pmin + 1
     # dead-group skip: a row group whose every corner weight is zero (all
     # taps outside the image — e.g. a whole z-anchor projecting above the
     # camera for this 128-query block) contributes exactly 0, but its
     # border-clamped keys would still sweep 1-2 panels.  span=0 makes the
     # kernel's fori_loop skip the group entirely.  m4 >= 0 always (bilinear
     # slots x softmax weights), so max==0 detects dead exactly.
-    galive = m4.reshape(B, QB, rows // row_group, -1).max(-1) > 0
+    galive = m4.reshape(B, ng, -1, QB, 128).max(axis=(2, 4)).transpose(0, 2, 1) > 0
     pspan = jnp.where(galive, pspan, 0)
-    pm = jnp.repeat(pmin, row_group, axis=2)
-    pm = pm[..., None, None] if two_plane else pm[..., None]
+    # pm broadcast back to the key layout (fused elementwise, no relayout):
+    # [B, QB, ng] -> [B, ng, QB] -> rows/128-lane expansion
+    pm = jnp.repeat(pmin.transpose(0, 2, 1), row_group, axis=1)  # [B, rows, QB]
+    pm = jnp.broadcast_to(pm[..., None], (B, rows, QB, 128)).reshape(B, rows, qp)
+    if two_plane:
+        pm = pm[:, :, None, :]
     lane = (key - pm * 128).astype(jnp.int32)
     return lane, m4.astype(jnp.float32), pmin, pspan
 
@@ -634,7 +645,7 @@ def multi_scale_deformable_attn_sorted(
     jax.jit,
     static_argnames=(
         "spatial_shapes", "num_heads", "packed", "interpret", "key_groups",
-        "row_group", "out_dtype",
+        "row_group", "out_dtype", "out_q_minor",
     ),
 )
 def multi_scale_deformable_attn_sorted_qm(
@@ -649,6 +660,7 @@ def multi_scale_deformable_attn_sorted_qm(
     key_groups: int | None = None,
     row_group: int | None = None,
     out_dtype=jnp.bfloat16,
+    out_q_minor: bool = False,
 ) -> jax.Array:
     """Query-minor entry to the sorted MSDA op: every input arrives in the
     layout the kernel wants (value channel-minor for the tables, projections
@@ -673,7 +685,7 @@ def multi_scale_deformable_attn_sorted_qm(
     return _sorted_core(
         vt, ref_t.astype(jnp.float32), offT, attnT, spatial_shapes, num_heads,
         packed=packed, interpret=interpret, key_groups=key_groups,
-        row_group=row_group, out_dtype=out_dtype,
+        row_group=row_group, out_dtype=out_dtype, out_q_minor=out_q_minor,
     )
 
 
@@ -735,11 +747,11 @@ def _qm_to_qmajor(value_t, ref_t, off_t, attn_t, spatial_shapes, num_heads):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _sorted_qm_diff(static, value_t, ref_t, off_t, attn_t):
-    (spatial_shapes, num_heads, packed, key_groups, row_group, dt) = static
+    (spatial_shapes, num_heads, packed, key_groups, row_group, dt, oqm) = static
     return multi_scale_deformable_attn_sorted_qm(
         value_t, ref_t, off_t, attn_t, spatial_shapes, num_heads,
         packed=packed, key_groups=key_groups, row_group=row_group,
-        out_dtype=jnp.dtype(dt),
+        out_dtype=jnp.dtype(dt), out_q_minor=oqm,
     )
 
 
@@ -750,14 +762,15 @@ def _sorted_qm_diff_fwd(static, value_t, ref_t, off_t, attn_t):
 
 
 def _sorted_qm_diff_bwd(static, res, g):
-    (spatial_shapes, num_heads, _packed, _kg, _rg, dt) = static
+    (spatial_shapes, num_heads, _packed, _kg, _rg, dt, oqm) = static
     value_t, ref_t, off_t, attn_t = res
 
     def f(v, r, o, a):
         value, rp, so, aw = _qm_to_qmajor(v, r, o, a, spatial_shapes, num_heads)
-        return multi_scale_deformable_attn(
-            value, rp, so, aw, spatial_shapes
-        ).astype(jnp.dtype(dt))
+        out = multi_scale_deformable_attn(value, rp, so, aw, spatial_shapes)
+        if oqm:  # match the fwd's q-minor output orientation
+            out = out.swapaxes(-1, -2)
+        return out.astype(jnp.dtype(dt))
 
     _, vjp = jax.vjp(f, value_t, ref_t, off_t, attn_t)
     return vjp(g)
@@ -769,6 +782,7 @@ _sorted_qm_diff.defvjp(_sorted_qm_diff_fwd, _sorted_qm_diff_bwd)
 def multi_scale_deformable_attn_sorted_qm_diff(
     value_t, ref_t, off_t, attn_t, spatial_shapes, num_heads,
     packed=True, key_groups=None, row_group=None, out_dtype=jnp.bfloat16,
+    out_q_minor=False,
 ):
     """Differentiable sorted MSDA (VERDICT r2 item 5): the Pallas sorted-tap
     kernel forward (inference speed) with an XLA backward — the VJP of the
@@ -783,7 +797,7 @@ def multi_scale_deformable_attn_sorted_qm_diff(
     """
     static = (
         tuple(spatial_shapes), num_heads, packed, key_groups, row_group,
-        jnp.dtype(out_dtype).name,
+        jnp.dtype(out_dtype).name, out_q_minor,
     )
     return _sorted_qm_diff(static, value_t, ref_t, off_t, attn_t)
 
@@ -791,6 +805,7 @@ def multi_scale_deformable_attn_sorted_qm_diff(
 def _sorted_core(
     vt, refT, offT, attnT, spatial_shapes, num_heads,
     *, packed, interpret, key_groups, row_group, out_dtype,
+    out_q_minor=False,
 ):
     from .pallas.msda_gather import msda_gather_sorted
 
@@ -875,12 +890,14 @@ def _sorted_core(
     # whole-block skip flags: a 128-query block whose every corner weight is
     # zero (the compaction's invisible tail) is written as zeros by the
     # kernel without sweeping — exact, and per-camera dynamic.
+    Bq = m4.shape[0]
+    qp_all = m4.shape[-1]
     alive = (
-        jnp.abs(m4).sum(axis=(2, 3, 4)) > 0
+        jnp.abs(m4).reshape(Bq, rows * 4, qp_all // 128, 128).sum(axis=(1, 3)) > 0
     ).astype(jnp.int32)  # [B, QB]
     if scale is not None:
         # dequant folded into the corner weights: out = s_b * sum m * q
-        m4 = m4 * scale[:, None, None, None, None]
+        m4 = m4 * scale[:, None, None, None]
     if packed:
         # packed (bf16/int8 table) paths carry m4 in bf16 — the [0,1] corner
         # x attention weights match the reference fp16 plugin's weight
@@ -914,6 +931,9 @@ def _sorted_core(
     else:
         per = -(-panels_total // n_splits)
         pmax = pmin + pspan - 1
+        B_ = lane.shape[0]
+        rows_ = rows
+        qp_ = lane.shape[-1]
         out = None
         for h in range(n_splits):
             h0, h1 = h * per, min((h + 1) * per, panels_total)
@@ -923,8 +943,13 @@ def _sorted_core(
             # panel falls outside the clipped window never match a sweep
             # position (panel_id <0 or >span), so no m4 masking is needed.
             span_h = jnp.where((pmax < h0) | (pmin >= h1), 0, hi - lo + 1)
-            shift = jnp.repeat(pmin - lo, rg, axis=2)
-            shift = shift[..., None, None] if two_plane else shift[..., None]
+            # [B, QB, ng] -> lane layout [B, rows, (2,) qp] (fused broadcast)
+            shift = jnp.repeat((pmin - lo).transpose(0, 2, 1), rg, axis=1)
+            shift = jnp.broadcast_to(
+                shift[..., None], (B_, rows_, qp_ // 128, 128)
+            ).reshape(B_, rows_, qp_)
+            if two_plane:
+                shift = shift[:, :, None, :]
             lane_h = lane + shift * 128
             alive_h = alive * (span_h.max(axis=-1) > 0)
             part = msda_gather_sorted(
@@ -934,5 +959,10 @@ def _sorted_core(
                 q_blocks=qbb, two_plane=two_plane, panel_width=npw,
             )
             out = part if out is None else out + part
+    if out_q_minor:
+        # [bs*heads, ch, qp] -> [bs, heads*ch, num_q]: a pure VIEW (heads is
+        # already channel-major) — callers consume it with
+        # QDense(q_minor='in'), so the q-major relayout never happens
+        return out.reshape(bs, num_heads * ch, QB * 128)[..., :num_q].astype(out_dtype)
     out = out.reshape(bs, num_heads, ch, QB * 128).transpose(0, 3, 1, 2)
     return out[:, :num_q].reshape(bs, num_q, num_heads * ch).astype(out_dtype)

@@ -51,9 +51,11 @@ def _kernel(
     """One grid step = `q_blocks` query blocks (128 queries each) of one
     (cam*head) table.
 
-    pmin/pspan [1, QB, rows//row_group] i32 (SMEM); lane [1, QBB, rows, 128]
-    i32; m4 [1, QBB, rows, corners, 128] f32; vt [1, CHT, HWp] (u32 pairs or
-    f32); o [1, ch, QBB*128] f32.
+    pmin/pspan [1, QB, rows//row_group] i32 (SMEM); lane
+    [1, rows, (2,) QBB*128] i32; m4 [1, rows, corners, QBB*128]; vt
+    [1, CHT, HWp] (u32 pairs or f32); o [1, ch, QBB*128] f32.  lane/m4 are
+    query-minor with the QB axis folded into lanes — exactly the layout the
+    XLA prep produces, so no relayout sits between prep and kernel.
 
     `q_blocks` amortizes the per-program fixed cost (grid step + tiny
     block DMAs + output store, ~1.2 us measured at temporal shapes): dead
@@ -85,6 +87,8 @@ def _kernel(
             o_ref[0, :, pl.ds(j * 128, 128)] = jnp.zeros(
                 (o_ref.shape[1], 128), o_ref.dtype
             )
+        # lane/m4 arrive query-MINOR ([.., rows, .., QBp*128]) so the prep
+        # never relayouts them; j picks this block's 128-lane window.
 
         @pl.when(alive_ref[0, qb, 0] != 0)
         def _live():
@@ -132,11 +136,11 @@ def _blend(
         # j may be a traced fori index (q_blocks > 1) — use pl.ds slices
         if two_plane:
             lane_g = lane_ref[
-                0, pl.ds(j, 1), g * RG : (g + 1) * RG, :, :
+                0, g * RG : (g + 1) * RG, :, pl.ds(j * 128, 128)
             ].reshape(RG, 2, 128)
         else:
             lane_g = lane_ref[
-                0, pl.ds(j, 1), g * RG : (g + 1) * RG, :
+                0, g * RG : (g + 1) * RG, pl.ds(j * 128, 128)
             ].reshape(RG, 1, 128)
         # a lane's in-panel index is lane & 127 for the panel it belongs to
         # (and don't-care elsewhere — the select masks it), so the per-visit
@@ -204,7 +208,7 @@ def _blend(
         for p in range(RG):
             # m4 arrives bf16 on the packed paths (halves the largest prep
             # tensor's HBM traffic + VMEM block); blend math stays f32.
-            m = m4_ref[0, pl.ds(j, 1), g * RG + p].reshape(
+            m = m4_ref[0, g * RG + p, :, pl.ds(j * 128, 128)].reshape(
                 corners, 128
             ).astype(jnp.float32)
             if emit_rows:
@@ -242,8 +246,8 @@ def _blend(
 )
 def msda_gather_sorted(
     table: jax.Array,   # [B, CHT, HWp] — u32 ch-pairs (packed) or f32
-    lane: jax.Array,    # [Bt, QB, rows, 128] i32: key - group pmin*128
-    m4: jax.Array,      # [Bt, QB, rows, corners, 128] f32 corner wts (x attn)
+    lane: jax.Array,    # [Bt, rows, (2,) QB*128] i32: key - group pmin*128
+    m4: jax.Array,      # [Bt, rows, corners, QB*128] corner wts (x attn)
     pmin: jax.Array,    # [Bt, QB, rows//row_group] i32 first panel per group
     pspan: jax.Array,   # [Bt, QB, rows//row_group] i32 union panel count
     rows: int,
@@ -291,14 +295,16 @@ def msda_gather_sorted(
         # headroom so the widest NP-panel slice never leaves the table
         table = jnp.pad(table, ((0, 0), (0, 0), (0, (panel_width - 1) * 128)))
     B, CHT, HWp = table.shape
-    QB = lane.shape[1]
+    Lq = lane.shape[-1]
+    QB = Lq // 128
     ng = rows // row_group
     Bt = B // tap_share
-    assert HWp % 128 == 0
+    assert HWp % 128 == 0 and Lq % 128 == 0
     assert rows % row_group == 0
     assert B % tap_share == 0
-    lane_shape = (Bt, QB, rows, 2, 128) if two_plane else (Bt, QB, rows, 128)
+    lane_shape = (Bt, rows, 2, Lq) if two_plane else (Bt, rows, Lq)
     assert lane.shape == lane_shape, (lane.shape, lane_shape)
+    assert m4.shape == (Bt, rows, corners, Lq), m4.shape
     assert pmin.shape == (Bt, QB, ng) and pspan.shape == (Bt, QB, ng)
     sub = 4 if packed == "int8" else (2 if packed else 1)
     stored = 2 if two_plane else corners
@@ -314,8 +320,9 @@ def msda_gather_sorted(
     if qb_pad:
         # pad to a whole number of programs with dead blocks (alive=0 writes
         # zeros; pspan never read); output tail sliced off below
-        lane = jnp.pad(lane, ((0, 0), (0, qb_pad)) + ((0, 0),) * (lane.ndim - 2))
-        m4 = jnp.pad(m4, ((0, 0), (0, qb_pad)) + ((0, 0),) * (m4.ndim - 2))
+        lpad = ((0, 0),) * (lane.ndim - 1) + ((0, qb_pad * 128),)
+        lane = jnp.pad(lane, lpad)
+        m4 = jnp.pad(m4, ((0, 0), (0, 0), (0, 0), (0, qb_pad * 128)))
         pmin = jnp.pad(pmin, ((0, 0), (0, qb_pad), (0, 0)))
         pspan = jnp.pad(pspan, ((0, 0), (0, qb_pad), (0, 0)))
         alive = jnp.pad(alive, ((0, 0), (0, qb_pad)))
@@ -324,14 +331,14 @@ def msda_gather_sorted(
 
     lane_spec = (
         pl.BlockSpec(
-            (1, QBB, rows, 2, 128),
-            lambda b, q: (b // G, q, 0, 0, 0),
+            (1, rows, 2, QBB * 128),
+            lambda b, q: (b // G, 0, 0, q),
             memory_space=pltpu.VMEM,
         )
         if two_plane
         else pl.BlockSpec(
-            (1, QBB, rows, 128),
-            lambda b, q: (b // G, q, 0, 0),
+            (1, rows, QBB * 128),
+            lambda b, q: (b // G, 0, q),
             memory_space=pltpu.VMEM,
         )
     )
@@ -354,8 +361,8 @@ def msda_gather_sorted(
             ),
             lane_spec,
             pl.BlockSpec(
-                (1, QBB, rows, corners, 128),
-                lambda b, q: (b // G, q, 0, 0, 0),
+                (1, rows, corners, QBB * 128),
+                lambda b, q: (b // G, 0, 0, q),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((1, CHT, HWp), lambda b, q: (b, 0, 0), memory_space=pltpu.VMEM),
