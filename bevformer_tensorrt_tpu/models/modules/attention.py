@@ -429,11 +429,16 @@ class MultiheadAttention(nn.Module):
             k = QDQ(name="qdq_k")(k)
             v = QDQ(name="qdq_v")(v)
         if use_flash:
-            from ...ops.pallas import flash_attention, flash_attention_int8
+            from ...ops.attention import (
+                flash_attention_diff,
+                flash_attention_int8_diff,
+            )
 
             # int8 flash MHA under quant='int8' — the reference's x8.2 int8
-            # flash plugin tier (multiHeadFlashAttnKernel.cu int8 path)
-            impl = flash_attention_int8 if int8_flash else flash_attention
+            # flash plugin tier (multiHeadFlashAttnKernel.cu int8 path).
+            # The _diff wrappers add an XLA backward (custom_vjp) so
+            # jax.grad works through the decoder on TPU.
+            impl = flash_attention_int8_diff if int8_flash else flash_attention_diff
         else:
             from ...ops.attention import qkv
 

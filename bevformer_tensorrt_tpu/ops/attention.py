@@ -70,3 +70,50 @@ def multi_head_attention(
 
     out = impl(split(query, q_len), split(key, kv_len), split(value, kv_len))
     return out.reshape(B, num_heads, q_len, hd).transpose(0, 2, 1, 3).reshape(B, q_len, E)
+
+
+# ---- differentiable flash wrappers -----------------------------------------
+# The Pallas flash kernels are inference-only primitives (no JVP rule, like
+# the reference's QKV plugin vs mmcv's torch attention for training).  These
+# custom_vjp wrappers run the kernel forward and the jnp qkv math's VJP
+# backward — the two compute the same function, so gradients are consistent.
+@jax.custom_vjp
+def flash_attention_diff(query, key, value):
+    from .pallas.flash_attn import flash_attention
+
+    return flash_attention(query, key, value)
+
+
+def _flash_diff_fwd(query, key, value):
+    return flash_attention_diff(query, key, value), (query, key, value)
+
+
+def _flash_diff_bwd(res, g):
+    query, key, value = res
+    _, vjp = jax.vjp(qkv, query, key, value)
+    return vjp(g)
+
+
+flash_attention_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
+
+
+@jax.custom_vjp
+def flash_attention_int8_diff(query, key, value):
+    from .pallas.flash_attn import flash_attention_int8
+
+    return flash_attention_int8(query, key, value)
+
+
+def _flash_i8_diff_fwd(query, key, value):
+    return flash_attention_int8_diff(query, key, value), (query, key, value)
+
+
+def _flash_i8_diff_bwd(res, g):
+    # straight-through: gradients of the fp attention math (the QAT STE
+    # convention — the int8 rounding inside the kernel is not differentiated)
+    query, key, value = res
+    _, vjp = jax.vjp(qkv, query, key, value)
+    return vjp(g)
+
+
+flash_attention_int8_diff.defvjp(_flash_i8_diff_fwd, _flash_i8_diff_bwd)

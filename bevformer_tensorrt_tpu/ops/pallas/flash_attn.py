@@ -126,6 +126,8 @@ def flash_attention_int8(
     """int8 flash attention: dynamic per-tensor amax quantization of q/k/v,
     int8 MXU for both matmuls, f32 online softmax.  Same signature/contract
     as `flash_attention`; ~0.5% output error on unit-scale inputs."""
+    interpret = interpret or jax.default_backend() != "tpu"
+
     B, q_len, d = query.shape
     kv_len = key.shape[1]
 
@@ -192,6 +194,8 @@ def flash_attention(
       query: [B, q_len, d]; key/value: [B, kv_len, d] (B = batch*heads).
     Returns: [B, q_len, d] in query.dtype.
     """
+    interpret = interpret or jax.default_backend() != "tpu"
+
     B, q_len, d = query.shape
     kv_len = key.shape[1]
     scale = 1.0 / float(d) ** 0.5

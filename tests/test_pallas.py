@@ -227,3 +227,36 @@ class TestFlashAttnInt8:
         )
         err = np.abs(got - want).mean() / (np.abs(want).mean() + 1e-9)
         assert err < 0.03, err
+
+
+def test_flash_attention_diff_grad_matches_qkv(rng):
+    """custom_vjp flash wrapper: jax.grad == grad of the jnp qkv math
+    (the decoder trains through flash MHA on TPU — VERDICT r2 item 5
+    pattern, found by the tiny accuracy-cycle train on axon)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bevformer_tensorrt_tpu.ops.attention import flash_attention_diff, qkv
+
+    B, L, d = 4, 128, 32
+    q = jnp.asarray(rng.standard_normal((B, L, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, L, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, L, d)), jnp.float32)
+    cot = jnp.asarray(rng.standard_normal((B, L, d)), jnp.float32)
+
+    def loss_flash(q, k, v):
+        from bevformer_tensorrt_tpu.ops.pallas.flash_attn import flash_attention
+
+        # interpret mode off-TPU is handled inside the kernel module
+        return (flash_attention_diff(q, k, v) * cot).sum()
+
+    def loss_ref(q, k, v):
+        return (qkv(q, k, v) * cot).sum()
+
+    np.testing.assert_allclose(
+        float(loss_flash(q, k, v)), float(loss_ref(q, k, v)), rtol=1e-4
+    )
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)

@@ -116,3 +116,116 @@ class TestDryrun:
         import __graft_entry__
 
         __graft_entry__.dryrun_multichip(8)
+
+
+class TestPipelineParallel:
+    """GPipe-style homogeneous-stage pipelining (parallel/pipeline.py) —
+    §2.6 PP, absent from the reference (its engine is single-GPU)."""
+
+    def _mesh(self, n):
+        import jax
+        from jax.sharding import Mesh
+
+        return Mesh(np.array(jax.devices("cpu")[:n]).reshape(n), ("pp",))
+
+    def test_pipeline_matches_sequential(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from bevformer_tensorrt_tpu.parallel import (
+            pipeline_apply,
+            stack_stage_params,
+        )
+
+        S, M, B, C = 4, 6, 2, 16
+        mesh = self._mesh(S)
+        stages = [
+            {"w": jnp.asarray(rng.standard_normal((C, C)) * 0.3, jnp.float32),
+             "b": jnp.asarray(rng.standard_normal(C) * 0.1, jnp.float32)}
+            for _ in range(S)
+        ]
+        x = jnp.asarray(rng.standard_normal((M, B, C)), jnp.float32)
+
+        def fn(p, h):
+            return jnp.tanh(h @ p["w"] + p["b"])
+
+        stacked = stack_stage_params(stages)
+        got = jax.jit(
+            lambda sp, xv: pipeline_apply(fn, sp, xv, mesh, axis="pp")
+        )(stacked, x)
+
+        want = x
+        for p in stages:
+            want = fn(p, want)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-6, atol=2e-6)
+
+    def test_pipeline_is_differentiable(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from bevformer_tensorrt_tpu.parallel import (
+            pipeline_apply,
+            stack_stage_params,
+        )
+
+        S, M, B, C = 2, 3, 2, 8
+        mesh = self._mesh(S)
+        stages = [
+            {"w": jnp.asarray(rng.standard_normal((C, C)) * 0.3, jnp.float32)}
+            for _ in range(S)
+        ]
+        x = jnp.asarray(rng.standard_normal((M, B, C)), jnp.float32)
+
+        def fn(p, h):
+            return jnp.tanh(h @ p["w"])
+
+        stacked = stack_stage_params(stages)
+
+        def loss_pp(sp):
+            return (pipeline_apply(fn, sp, x, mesh, axis="pp") ** 2).sum()
+
+        def loss_seq(sp):
+            h = x
+            for s in range(S):
+                h = fn(jax.tree.map(lambda v: v[s], sp), h)
+            return (h ** 2).sum()
+
+        g_pp = jax.jit(jax.grad(loss_pp))(stacked)
+        g_seq = jax.grad(loss_seq)(stacked)
+        np.testing.assert_allclose(
+            np.asarray(g_pp["w"]), np.asarray(g_seq["w"]), rtol=5e-6, atol=5e-6
+        )
+
+    def test_pipeline_encoder_layer_stages(self, rng):
+        """The real use: BEVFormer-style transformer blocks (LN + FFN) as
+        homogeneous stages at micro width."""
+        import jax
+        import jax.numpy as jnp
+
+        from bevformer_tensorrt_tpu.parallel import (
+            pipeline_apply,
+            stack_stage_params,
+        )
+
+        S, M, nq, C = 4, 4, 64, 32
+        mesh = self._mesh(S)
+
+        def block(p, h):
+            y = jnp.maximum(h @ p["w1"], 0.0) @ p["w2"] + h
+            mu = y.mean(-1, keepdims=True)
+            var = ((y - mu) ** 2).mean(-1, keepdims=True)
+            return (y - mu) / jnp.sqrt(var + 1e-5)
+
+        stages = [
+            {"w1": jnp.asarray(rng.standard_normal((C, 2 * C)) * 0.2, jnp.float32),
+             "w2": jnp.asarray(rng.standard_normal((2 * C, C)) * 0.2, jnp.float32)}
+            for _ in range(S)
+        ]
+        x = jnp.asarray(rng.standard_normal((M, nq, C)), jnp.float32)
+        got = jax.jit(
+            lambda sp, xv: pipeline_apply(block, sp, xv, mesh, axis="pp")
+        )(stack_stage_params(stages), x)
+        want = x
+        for p in stages:
+            want = block(p, want)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=5e-6, atol=5e-6)
