@@ -211,7 +211,13 @@ class MSDeformableAttention3D(nn.Module):
         ppg = reference_points_cam.shape[-1] // 2
 
         K = min(nq, max(128, -(-int(nq * self.cam_budget) // 128) * 128))
-        if K < nq:
+        # the sorted kernel NEEDS the compaction path even at K == nq: its
+        # sigma ordering (sort by projected image position) is what keeps
+        # each 128-tap row panel-local — raster-ordered BEV queries sweep
+        # the whole image per row (measured 10.5 s/frame at tiny,
+        # cam_budget=1.0).  At K == nq it is a pure permutation: nothing
+        # can be dropped, so exactness is unconditional.
+        if K < nq or msda_impl_is_sorted(self.msda_impl):
             if compaction is not None:
                 topi, topv, ref_c = compaction
             else:

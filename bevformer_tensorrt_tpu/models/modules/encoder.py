@@ -227,9 +227,13 @@ class BEVFormerEncoder(nn.Module):
 
         # camera compaction is frame geometry — compute the per-camera top-K
         # ONCE and share it across every layer's cross-attention.
+        from .attention import msda_impl_is_sorted
+
         compaction = None
         K = min(nq, max(128, -(-int(nq * cfg.cam_budget) // 128) * 128))
-        if K < nq:
+        # sorted impl: compute the compaction even at K == nq (pure
+        # permutation) — the sigma sort is what makes the kernel fast
+        if K < nq or msda_impl_is_sorted(cfg.msda_impl):
             mask_flat = bev_mask.reshape(cfg.num_cams, nq)
             topv, topi = jax.lax.top_k(mask_flat, K)
             # sigma ordering: sort each camera's selected queries by the

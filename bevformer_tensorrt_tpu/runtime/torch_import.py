@@ -500,4 +500,10 @@ def load_variables(path: str, template, family: str = "bevformer", cfg=None):
         return {**template, **imported}
     from .checkpoint import load_checkpoint
 
-    return load_checkpoint(path, template=template)
+    # restore only the collections a training checkpoint actually stores —
+    # a quant-instrumented model's init template also carries calibration
+    # collections (amax_stats/hist_stats) that a params checkpoint lacks
+    raw = load_checkpoint(path)
+    sub_template = {k: v for k, v in template.items() if k in raw}
+    restored = load_checkpoint(path, template=sub_template)
+    return {**template, **restored}

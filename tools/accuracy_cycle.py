@@ -27,15 +27,23 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 
 
-def run(cmd, log, timeout=7200):
-    print(f"+ {' '.join(map(str, cmd))}", file=sys.stderr, flush=True)
-    with open(log, "w") as f:
-        r = subprocess.run(list(map(str, cmd)), stdout=f, stderr=subprocess.STDOUT,
-                           timeout=timeout)
-    if r.returncode != 0:
+def run(cmd, log, timeout=7200, attempts=3):
+    """Run one stage; retry on failure — the axon relay's remote-compile
+    HTTP stream occasionally drops mid-compile ('response body closed'),
+    and a retry usually hits the warmed server-side cache."""
+    for a in range(attempts):
+        print(f"+ {' '.join(map(str, cmd))}" + (f"  [retry {a}]" if a else ""),
+              file=sys.stderr, flush=True)
+        with open(log, "w") as f:
+            r = subprocess.run(list(map(str, cmd)), stdout=f,
+                               stderr=subprocess.STDOUT, timeout=timeout)
+        if r.returncode == 0:
+            return Path(log).read_text()
         tail = Path(log).read_text()[-3000:]
-        raise SystemExit(f"step failed ({cmd[1]}):\n{tail}")
-    return Path(log).read_text()
+        transient = "remote_compile" in tail or "response body closed" in tail
+        if a + 1 == attempts or not transient:
+            raise SystemExit(f"step failed ({cmd[1]}):\n{tail}")
+        time.sleep(20)
 
 
 def last_json(text):

@@ -69,7 +69,7 @@ def main():
     if args.checkpoint:
         from bevformer_tensorrt_tpu.runtime.torch_import import load_variables
 
-        variables = load_variables(args.checkpoint, variables, family="bevformer", cfg=cfg)
+        variables = load_variables(args.checkpoint, variables, family="bevformer", cfg=cfg_fp)
 
     # FP32 pre-pass: record realistic recurrent state per calibration frame
     print(f"pre-pass: {n} frames", file=sys.stderr)
