@@ -135,7 +135,10 @@ def _dcn_pallas(
     q_pad = (-S) % 128
     QB = (S + q_pad) // 128
     if ch_group is None:
-        want = 64 if packed == "int8" else 128
+        import os
+
+        env = int(os.environ.get("DCN_CHG", "0"))  # A/B harness override
+        want = env or (64 if packed == "int8" else 128)
         ch_group = want if Cin % want == 0 else 32
     G = Cin // ch_group
     B = N * G

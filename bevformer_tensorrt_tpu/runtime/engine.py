@@ -66,7 +66,12 @@ class BEVFormerEngine:
 
     def __init__(self, model, variables, cfg, donate_prev_bev: bool = True):
         self.cfg = cfg
-        self.variables = variables
+        # pin params on device ONCE: a loaded checkpoint is a host-numpy
+        # tree, and jit re-uploads host arguments on EVERY call — through
+        # the tunneled dev backend that is seconds/frame (the reference
+        # loads weights onto the GPU once at engine build, for the same
+        # reason)
+        self.variables = jax.device_put(variables)
         # donate prev_bev so XLA reuses its buffer for bev_embed (no extra
         # HBM copy for the recurrent state)
         self._apply = jax.jit(

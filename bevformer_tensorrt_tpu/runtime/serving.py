@@ -53,7 +53,9 @@ class ContinuousBatchingEngine:
 
     def __init__(self, model, variables, cfg, max_scenes: int = 16, batch: int = 4, mesh=None):
         self.cfg = cfg
-        self.variables = variables
+        # pin on device: a loaded checkpoint is host numpy, and jit
+        # re-uploads host args every call (seconds/frame on the relay)
+        self.variables = jax.device_put(variables)
         self.batch = batch
         self.max_scenes = max_scenes
         nq = cfg.bev_h * cfg.bev_w

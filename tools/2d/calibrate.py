@@ -65,6 +65,7 @@ def main():
 
         family = "yolox" if args.model.startswith("yolox") else "centernet"
         variables = load_variables(args.checkpoint, variables, family=family, cfg=cfg)
+        variables = jax.device_put(variables)  # pin on device: jit re-uploads host trees every call
 
     n = min(args.length, len(ds))
     batches = []

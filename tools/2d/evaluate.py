@@ -94,6 +94,7 @@ def main():
 
         family = "yolox" if args.model.startswith("yolox") else "centernet"
         variables = load_variables(args.checkpoint, variables, family=family, cfg=cfg)
+        variables = jax.device_put(variables)  # pin on device: jit re-uploads host trees every call
     infer_jit = jax.jit(infer)
 
     n = len(ds) if args.limit is None else min(args.limit, len(ds))

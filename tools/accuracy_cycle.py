@@ -64,6 +64,9 @@ def main():
     ap.add_argument("--msda-impl", default="sorted")
     ap.add_argument("--out", default="ACCURACY_r3.json")
     ap.add_argument("--workdir", default="/tmp/acc_cycle")
+    ap.add_argument("--shared-gt", action="store_true",
+                    help="constant scene (same GT every frame) — reaches "
+                    "meaningful AP in a short overfit run")
     args = ap.parse_args()
 
     wd = Path(args.workdir)
@@ -77,8 +80,9 @@ def main():
         shape = ["--cams", "2", "--width", "160", "--height", "96"]
     else:
         shape = ["--cams", "6", "--width", "800", "--height", "480"]
+    extra = ["--shared-gt"] if args.shared_gt else []
     run([py, REPO / "tools/make_synthetic_nuscenes.py", synth,
-         "--frames", args.frames, *shape], wd / "00_data.log")
+         "--frames", args.frames, *shape, *extra], wd / "00_data.log")
 
     ckpt = wd / "fp.msgpack"
     run([py, REPO / "tools/bevformer/train.py", args.model,

@@ -68,6 +68,7 @@ def main():
         from bevformer_tensorrt_tpu.runtime.torch_import import load_variables
 
         variables = load_variables(args.checkpoint, variables, family="bevdet", cfg=cfg)
+        variables = jax.device_put(variables)  # pin on device: jit re-uploads host trees every call
 
     n = min(args.length, len(frames))
     batches = [{"image": frames.frame(i).image} for i in range(n)]

@@ -100,6 +100,7 @@ def main():
         from bevformer_tensorrt_tpu.runtime.torch_import import load_variables
 
         variables = load_variables(args.checkpoint, variables, family="bevdet", cfg=cfg)
+        variables = jax.device_put(variables)  # pin on device: jit re-uploads host trees every call
     if args.quant_scales:
         scales = load_checkpoint(args.quant_scales)
         from bevformer_tensorrt_tpu.quant.fold import attach_quant_scales

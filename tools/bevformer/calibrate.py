@@ -100,7 +100,9 @@ def main():
     # calibration passes through the QDQ-instrumented model
     model_q = BEVFormer(cfg_q)
     variables_q = jax.jit(model_q.init)(jax.random.PRNGKey(0), *dummy)
-    variables_q = {**variables_q, "params": variables["params"], "batch_stats": variables["batch_stats"]}
+    variables_q = jax.device_put(
+        {**variables_q, "params": variables["params"], "batch_stats": variables["batch_stats"]}
+    )  # pin on device: jit re-uploads host trees every call
 
     def apply_fn(v, batch, mutable):
         _, mutated = model_q.apply(

@@ -25,6 +25,13 @@ def main():
     ap.add_argument("--cams", type=int, default=6)
     ap.add_argument("--width", type=int, default=1600)
     ap.add_argument("--height", type=int, default=900)
+    ap.add_argument(
+        "--shared-gt", action="store_true",
+        help="same GT boxes in every frame: a memorizable constant scene, "
+        "so short overfit runs reach meaningful AP (the fp/int8/QAT NDS "
+        "deltas are the point of the synthetic accuracy cycle, not scene "
+        "variety)",
+    )
     args = ap.parse_args()
 
     from PIL import Image
@@ -34,6 +41,7 @@ def main():
     rng = np.random.default_rng(0)
 
     infos = []
+    shared = None
     for i in range(args.frames):
         scene = f"scene{i // 2}"  # 2 frames per scene
         cams = {}
@@ -57,13 +65,19 @@ def main():
                     [[1200.0, 0, args.width / 2], [0, 1200.0, args.height / 2], [0, 0, 1]]
                 ),
             )
-        n_gt = int(rng.integers(3, 8))
-        gt_boxes = np.zeros((n_gt, 7), np.float32)
-        gt_boxes[:, :2] = rng.uniform(-30, 30, (n_gt, 2))
-        gt_boxes[:, 2] = rng.uniform(-1, 1, n_gt)
-        gt_boxes[:, 3:6] = rng.uniform(0.5, 4, (n_gt, 3))
-        gt_boxes[:, 6] = rng.uniform(-np.pi, np.pi, n_gt)
-        names = rng.choice(["car", "truck", "pedestrian", "bicycle"], n_gt)
+        if args.shared_gt and shared is not None:
+            gt_boxes, names, vel = shared
+        else:
+            n_gt = int(rng.integers(3, 8))
+            gt_boxes = np.zeros((n_gt, 7), np.float32)
+            gt_boxes[:, :2] = rng.uniform(-30, 30, (n_gt, 2))
+            gt_boxes[:, 2] = rng.uniform(-1, 1, n_gt)
+            gt_boxes[:, 3:6] = rng.uniform(0.5, 4, (n_gt, 3))
+            gt_boxes[:, 6] = rng.uniform(-np.pi, np.pi, n_gt)
+            names = rng.choice(["car", "truck", "pedestrian", "bicycle"], n_gt)
+            vel = rng.normal(0, 2, (n_gt, 2)).astype(np.float32)
+            if args.shared_gt:
+                shared = (gt_boxes, names, vel)
         infos.append(
             dict(
                 token=f"sample{i}",
@@ -77,7 +91,7 @@ def main():
                 lidar2ego_rotation=[1.0, 0.0, 0.0, 0.0],
                 gt_boxes=gt_boxes,
                 gt_names=list(names),
-                gt_velocity=rng.normal(0, 2, (n_gt, 2)).astype(np.float32),
+                gt_velocity=vel,
                 valid_flag=np.ones(n_gt, bool),
             )
         )
