@@ -170,17 +170,24 @@ def main():
     try:
         out = apply_fn(variables, image, prev_bev, jnp.float32(1.0), can_bus, lidar2img)
         jax.block_until_ready(out)
-    except Exception:  # pragma: no cover - depends on kernel toolchain
+    except Exception as e:  # pragma: no cover - depends on kernel toolchain
         import traceback
 
         log(traceback.format_exc())
-        log("preferred kernel layout failed (full traceback above); "
-            "retrying with MSDA_QBB=1 MSDA_TWO_PLANE=0 — a genuinely "
-            "unrelated failure will fail again below")
-        os.environ["MSDA_QBB"] = "1"
-        os.environ["MSDA_TWO_PLANE"] = "0"
-        jax.clear_caches()
-        apply_fn = make_apply()
+        if "remote_compile" in str(e) or "response body closed" in str(e):
+            # transient relay compile-stream drop (NOTES_r3): a retry hits
+            # the warmed server-side cache
+            log("transient remote-compile stream drop; retrying once")
+            jax.clear_caches()
+            apply_fn = make_apply()
+        else:
+            log("preferred kernel layout failed (full traceback above); "
+                "retrying with MSDA_QBB=1 MSDA_TWO_PLANE=0 — a genuinely "
+                "unrelated failure will fail again below")
+            os.environ["MSDA_QBB"] = "1"
+            os.environ["MSDA_TWO_PLANE"] = "0"
+            jax.clear_caches()
+            apply_fn = make_apply()
         out = apply_fn(variables, image, prev_bev, jnp.float32(1.0), can_bus, lidar2img)
         jax.block_until_ready(out)
     log(f"compile+first run: {time.perf_counter() - t0:.1f}s")

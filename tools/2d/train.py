@@ -53,6 +53,10 @@ def main():
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
+    from bevformer_tensorrt_tpu.runtime.export import enable_compilation_cache
+
+    enable_compilation_cache()  # persistent cache: skip remote recompiles
+
     import jax.numpy as jnp
     import optax
 

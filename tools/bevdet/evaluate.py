@@ -43,6 +43,10 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    from bevformer_tensorrt_tpu.runtime.export import enable_compilation_cache
+
+    enable_compilation_cache()  # persistent cache: skip remote recompiles
     import jax.numpy as jnp
 
     from bevformer_tensorrt_tpu.configs.bevdet import bevdet_r50

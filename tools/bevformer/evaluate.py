@@ -70,6 +70,10 @@ def main():
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
+    from bevformer_tensorrt_tpu.runtime.export import enable_compilation_cache
+
+    enable_compilation_cache()  # persistent cache: skip remote recompiles
+
     pid, nproc = 0, 1
     if args.distributed or os.environ.get("JAX_COORDINATOR_ADDRESS"):
         jax.distributed.initialize(

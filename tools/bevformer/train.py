@@ -94,6 +94,10 @@ def main():
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
+    from bevformer_tensorrt_tpu.runtime.export import enable_compilation_cache
+
+    enable_compilation_cache()  # persistent cache: skip remote recompiles
+
     if args.distributed or os.environ.get("JAX_COORDINATOR_ADDRESS"):
         # on TPU pods all args are inferred from the runtime; the env vars
         # cover manual/CPU bringup
