@@ -35,8 +35,10 @@ def main():
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument("--quant", default="none", choices=["none", "qdq", "int8"],
                     help="int8: real int8 matmuls/convs with max-calibrated scales")
-    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--detail-out", default=None,
+                    help="write per-iteration latencies to this JSON file")
     args = ap.parse_args()
 
     # Relay watchdog: on the tunneled axon backend a wedged relay makes
@@ -174,13 +176,21 @@ def main():
         import traceback
 
         log(traceback.format_exc())
-        if "remote_compile" in str(e) or "response body closed" in str(e):
-            # transient relay compile-stream drop (NOTES_r3): a retry hits
-            # the warmed server-side cache
+        # narrow transient signature: connection-level relay drops only.  A
+        # genuine compile failure that merely MENTIONS the remote-compile
+        # path must fall through to the layout fallback, not loop on retries.
+        transient = "response body closed" in str(e) or "Connection reset" in str(e)
+        if transient:
             log("transient remote-compile stream drop; retrying once")
             jax.clear_caches()
             apply_fn = make_apply()
-        else:
+            try:
+                out = apply_fn(variables, image, prev_bev, jnp.float32(1.0), can_bus, lidar2img)
+                jax.block_until_ready(out)
+            except Exception:
+                log(traceback.format_exc())
+                transient = False  # plain retry failed -> try the layout fallback
+        if not transient:
             log("preferred kernel layout failed (full traceback above); "
                 "retrying with MSDA_QBB=1 MSDA_TWO_PLANE=0 — a genuinely "
                 "unrelated failure will fail again below")
@@ -188,8 +198,8 @@ def main():
             os.environ["MSDA_TWO_PLANE"] = "0"
             jax.clear_caches()
             apply_fn = make_apply()
-        out = apply_fn(variables, image, prev_bev, jnp.float32(1.0), can_bus, lidar2img)
-        jax.block_until_ready(out)
+            out = apply_fn(variables, image, prev_bev, jnp.float32(1.0), can_bus, lidar2img)
+            jax.block_until_ready(out)
     log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
 
     lat = []
@@ -206,23 +216,48 @@ def main():
         dt = time.perf_counter() - t0
         if i >= args.warmup:
             lat.append(dt)
-    mean_ms = float(np.mean(lat) * 1000)
-    fps = 1000.0 / mean_ms
-    log(f"latency: mean {mean_ms:.1f} ms, min {min(lat)*1000:.1f} ms over {args.iters} iters")
+            log(f"iter {i - args.warmup:3d}: {dt * 1000:.1f} ms")
+
+    # Per-iteration statistics.  On this tunneled backend the relay
+    # occasionally injects multi-hundred-ms stalls that have nothing to do
+    # with device compute (BENCH_r03: mean 884 ms vs min 487 ms on identical
+    # dispatches; re-measured clean at mean 479/min 478).  The headline is
+    # therefore the MEDIAN per-frame latency — robust to relay weather while
+    # honest about sustained regressions — with mean/min/p90 and the raw
+    # per-iteration trace reported alongside for exactly that audit.
+    lat_ms = np.asarray(lat) * 1000
+    mean_ms = float(lat_ms.mean())
+    med_ms = float(np.median(lat_ms))
+    p90_ms = float(np.percentile(lat_ms, 90))
+    min_ms = float(lat_ms.min())
+    stragglers = int((lat_ms > 2 * med_ms).sum())
+    fps = 1000.0 / med_ms
+    log(
+        f"latency over {args.iters} iters: median {med_ms:.1f} ms, mean {mean_ms:.1f}, "
+        f"min {min_ms:.1f}, p90 {p90_ms:.1f}, stragglers(>2x median) {stragglers}"
+    )
 
     baseline = BASELINES[args.model]
-    print(
-        json.dumps(
-            {
-                "metric": f"bevformer_{args.model}_{args.dtype}"
-                + ("" if args.quant == "none" else f"_{args.quant}")
-                + "_fps",
-                "value": round(fps, 3),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / baseline, 3),
-            }
-        )
-    )
+    record = {
+        "metric": f"bevformer_{args.model}_{args.dtype}"
+        + ("" if args.quant == "none" else f"_{args.quant}")
+        + "_fps",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / baseline, 3),
+        "latency_ms": {
+            "median": round(med_ms, 1),
+            "mean": round(mean_ms, 1),
+            "min": round(min_ms, 1),
+            "p90": round(p90_ms, 1),
+        },
+        "iters": args.iters,
+        "stragglers": stragglers,
+    }
+    if args.detail_out:
+        with open(args.detail_out, "w") as f:
+            json.dump({**record, "per_iter_ms": [round(x, 1) for x in lat_ms.tolist()]}, f)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -45,6 +45,7 @@ class BEVDetConfig:
     # deploy
     dtype: str = "float32"
     quant: bool = False
+    quant_exclude: Tuple[str, ...] = ()  # mixed precision (quant/policy.py)
 
     @property
     def depth_bins(self) -> int:

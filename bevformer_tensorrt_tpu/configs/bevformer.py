@@ -52,6 +52,11 @@ class BEVFormerConfig:
     # deploy
     dtype: str = "float32"  # compute dtype for backbone/attention matmuls
     quant: bool = False     # False | True (QDQ sim) | 'int8' (real int8)
+    # mixed precision: module-path patterns that stay in the compute dtype
+    # under quant (the reference's INT8+FP16 dual-flag behavior where TRT
+    # keeps sensitive layers fp16, det2trt/convert/onnx2tensorrt.py:49-54);
+    # see quant/policy.py for pattern semantics
+    quant_exclude: Tuple[str, ...] = ()
     msda_impl: str = "auto"  # 'jnp' | 'pallas' | 'auto'
     # per-camera query budget for spatial cross-attention (fraction of BEV
     # queries gathered per camera; 1.0 disables compaction).  Exact as long

@@ -18,6 +18,7 @@ class CenterNetConfig:
     local_max_kernel: int = 3
     dtype: str = "float32"
     quant: bool = False
+    quant_exclude: Tuple[str, ...] = ()  # mixed precision (quant/policy.py)
 
 
 def centernet_r18(**over) -> CenterNetConfig:

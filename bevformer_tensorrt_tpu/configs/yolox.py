@@ -2,6 +2,7 @@
 from __future__ import annotations
 
 import dataclasses
+from typing import Tuple
 
 
 @dataclasses.dataclass(frozen=True)
@@ -18,6 +19,7 @@ class YOLOXConfig:
     max_per_img: int = 100
     dtype: str = "float32"
     quant: bool = False
+    quant_exclude: Tuple[str, ...] = ()  # mixed precision (quant/policy.py)
 
 
 def yolox_x(**over) -> YOLOXConfig:

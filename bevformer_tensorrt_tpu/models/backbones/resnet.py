@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops import modulated_deform_conv2d
+from ...quant.policy import effective_quant
 from ...quant.qdq import QDQ
 from ..layers import QConv
 
@@ -88,7 +89,9 @@ class DeformConv2d(nn.Module):
             dilation=1,
             groups=1,
             deform_groups=dg,
-            quant="int8" if self.quant == "int8" else False,
+            quant="int8"
+            if effective_quant(self.quant, self.path + ("dcn_tables",)) == "int8"
+            else False,
             layout="NHWC",
         )
 

@@ -62,6 +62,9 @@ class BEVDet(nn.Module):
           CenterHead output maps dict (NHWC).
         """
         cfg = self.cfg
+        from ...quant.policy import set_quant_exclude
+
+        set_quant_exclude(getattr(cfg, "quant_exclude", ()))
         dtype = jnp.dtype(cfg.dtype)
         bs, cams = image.shape[:2]
         img = image.reshape(bs * cams, 3, cfg.input_h, cfg.input_w)

@@ -36,6 +36,11 @@ class BEVFormer(nn.Module):
           outputs_coords [L, 1, num_query, code_size]
         """
         cfg = self.cfg
+        # publish the mixed-precision policy for this trace (the config is a
+        # module field, so a policy change retraces under jit)
+        from ...quant.policy import set_quant_exclude
+
+        set_quant_exclude(getattr(cfg, "quant_exclude", ()))
         dtype = jnp.dtype(cfg.dtype)
         bs, cams = image.shape[:2]
         img = image.reshape(bs * cams, 3, cfg.img_h, cfg.img_w)

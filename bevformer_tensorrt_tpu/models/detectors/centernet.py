@@ -21,6 +21,9 @@ class CenterNet(nn.Module):
     def __call__(self, image):
         """image: [N, 3, H, W] -> head maps dict (stride-4 NHWC)."""
         cfg = self.cfg
+        from ...quant.policy import set_quant_exclude
+
+        set_quant_exclude(getattr(cfg, "quant_exclude", ()))
         x = image.transpose(0, 2, 3, 1).astype(jnp.dtype(cfg.dtype))
         feats = ResNet(
             depth=cfg.backbone_depth,

@@ -24,6 +24,9 @@ class YOLOX(nn.Module):
     def __call__(self, image):
         """image: [N, 3, H, W] (reference binding layout) -> per-level head maps."""
         cfg = self.cfg
+        from ...quant.policy import set_quant_exclude
+
+        set_quant_exclude(getattr(cfg, "quant_exclude", ()))
         x = image.transpose(0, 2, 3, 1).astype(jnp.dtype(cfg.dtype))
         feats = CSPDarknet(
             deepen_factor=cfg.deepen_factor,

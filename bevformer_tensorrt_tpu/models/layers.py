@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..quant.fake_quant import fake_quant, per_channel_scale
+from ..quant.policy import effective_quant
 from ..quant.qdq import QDQ
 
 
@@ -35,13 +36,13 @@ class WeightFakeQuant(nn.Module):
         return fake_quant(w, per_channel_scale(w, axis=axis))
 
 
-def _check_int8_scale_fn(mod, s_in):
+def _check_int8_scale_fn(mod, s_in, quant):
     """quant='int8' with no calibrated activation scale would silently
     degrade to fake-quant (a deploy misconfiguration quietly running fp);
     fail at trace time instead — unless this is an init or calibration
     pass, where scales legitimately don't exist yet."""
     if (
-        mod.quant == "int8"
+        quant == "int8"
         and s_in is None
         and not mod.is_initializing()
         and not mod.is_mutable_collection("amax_stats")
@@ -91,6 +92,7 @@ class QDense(nn.Module):
         a relayout (the sorted MSDA op's output_proj).  Parameters are
         identical in all orientations (kernel [f_in, f_out]).
         """
+        quant = effective_quant(self.quant, self.path)
         f_in = x.shape[-1] if q_minor == "out" else (
             x.shape[-2] if q_minor else x.shape[-1]
         )
@@ -113,10 +115,10 @@ class QDense(nn.Module):
         def badd(y, bias):
             return y + (bias[:, None] if qm_out else bias)
 
-        if self.quant:
+        if quant:
             x_scaled, s_in = QDQ(name="qdq_in", with_scale=True)(x)
-            _check_int8_scale_fn(self, s_in)
-            if self.quant == "int8" and s_in is not None:
+            _check_int8_scale_fn(self, s_in, quant)
+            if quant == "int8" and s_in is not None:
                 # real int8 path: quantize with the calibrated scale
                 xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_in), -127, 127).astype(jnp.int8)
                 if self.has_variable("quant", "wq"):
@@ -163,6 +165,7 @@ class QConv(nn.Module):
     @nn.compact
     def __call__(self, x):
         """x: NHWC."""
+        quant = effective_quant(self.quant, self.path)
         pad = self.padding
         if isinstance(pad, int):
             pad = ((pad, pad), (pad, pad))
@@ -172,10 +175,10 @@ class QConv(nn.Module):
             (*self.kernel_size, x.shape[-1] // self.feature_group_count, self.features),
             jnp.float32,
         )
-        if self.quant:
+        if quant:
             x_scaled, s_in = QDQ(name="qdq_in", with_scale=True)(x)
-            _check_int8_scale_fn(self, s_in)
-            if self.quant == "int8" and s_in is not None:
+            _check_int8_scale_fn(self, s_in, quant)
+            if quant == "int8" and s_in is not None:
                 # real int8 conv: MXU int8 with int32 accumulate
                 xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_in), -127, 127).astype(jnp.int8)
                 if self.has_variable("quant", "wq"):

@@ -28,6 +28,7 @@ from ...ops import (
     multi_scale_deformable_attn_sorted_diff,
     multi_scale_deformable_attn_sorted_qm_diff,
 )
+from ...quant.policy import effective_quant
 from ...quant.qdq import QDQ
 from ..layers import QDense
 import functools
@@ -113,7 +114,7 @@ class TemporalSelfAttention(nn.Module):
             # (QDense q_minor='out' — the orientation folds into the
             # dot_general), so no transposed copy of value or qcat ever
             # materializes and the sorted op's internal relayouts disappear.
-            packed = msda_packing(self.msda_impl, self.quant)
+            packed = msda_packing(self.msda_impl, effective_quant(self.quant, self.path + ('msda_tables',)))
             v_t = QDense(C, quant=self.quant, name="value_proj")(
                 value, q_minor="out"
             )  # [Q, C, nq]
@@ -156,7 +157,7 @@ class TemporalSelfAttention(nn.Module):
             # [1, Nq, H, Q, L*P*2] -> queue folded into batch: [Q, Nq, H, *]
             off = off.reshape(nq, H, Q, L * P * 2).transpose(2, 0, 1, 3)
             attn = attn.reshape(nq, H, Q, L * P).transpose(2, 0, 1, 3)
-            out = resolve_msda_impl(self.msda_impl, self.quant)(
+            out = resolve_msda_impl(self.msda_impl, effective_quant(self.quant, self.path + ('msda_tables',)))(
                 v, reference_points.reshape(Q, nq, 1, 2), off, attn,
                 spatial_shapes,
             )  # [Q, Nq, C]
@@ -187,13 +188,18 @@ class MSDeformableAttention3D(nn.Module):
     quant: bool = False
     msda_impl: str = "auto"
 
+    # Output orientation.  The machinery for a query-minor ([.., C, nq])
+    # output + q_minor='in' output_proj exists, but q-major measured FASTER
+    # here on v5e (489 vs 480 ms base bf16): the compaction scatter wants
+    # row-major rows, and XLA folds the op-output relayout well.  The
+    # temporal self-attention (no scatter) does keep its q-minor output.
+    # A module-level constant (not config-dependent, and deliberately NOT an
+    # annotated dataclass field) so the parent SpatialCrossAttention and this
+    # module can never disagree on it.
+    OUT_Q_MINOR = False
+
     def _out_q_minor(self) -> bool:
-        """Output orientation.  The machinery for a query-minor ([.., C, nq])
-        output + q_minor='in' output_proj exists, but q-major measured FASTER
-        here on v5e (489 vs 480 ms base bf16): the compaction scatter wants
-        row-major rows, and XLA folds the op-output relayout well.  The
-        temporal self-attention (no scatter) does keep its q-minor output."""
-        return False
+        return type(self).OUT_Q_MINOR
 
     @nn.compact
     def __call__(
@@ -238,7 +244,7 @@ class MSDeformableAttention3D(nn.Module):
                 # dot_general), so none of the q-major path's large
                 # gathers/relayouts (off[topi], attn[topi], value/query
                 # transposes) materialize.
-                packed = msda_packing(self.msda_impl, self.quant)
+                packed = msda_packing(self.msda_impl, effective_quant(self.quant, self.path + ('msda_tables',)))
                 v_t = QDense(C, quant=self.quant, name="value_proj")(
                     value, q_minor="out"
                 )  # [cams, C, keys]
@@ -275,7 +281,7 @@ class MSDeformableAttention3D(nn.Module):
                 )(query)
                 off_c = off.reshape(nq, H, L * P * 2)[topi]
                 attn_c = attn.reshape(nq, H, L * P)[topi]
-                out_k = resolve_msda_impl(self.msda_impl, self.quant)(
+                out_k = resolve_msda_impl(self.msda_impl, effective_quant(self.quant, self.path + ('msda_tables',)))(
                     v, ref_c, off_c, attn_c, spatial_shapes
                 )  # [cams, K, C]
             weighted = (out_k * topv[..., None]).astype(out_k.dtype)
@@ -293,7 +299,7 @@ class MSDeformableAttention3D(nn.Module):
         off = off.reshape(nq, H, L * P * 2)
         attn = attn.reshape(nq, H, L * P)
         ref = reference_points_cam.reshape(cams, nq, 1, -1)
-        out = resolve_msda_impl(self.msda_impl, self.quant)(
+        out = resolve_msda_impl(self.msda_impl, effective_quant(self.quant, self.path + ('msda_tables',)))(
             v,
             ref,
             jnp.broadcast_to(off[None], (cams, nq, H, L * P * 2)),
@@ -351,8 +357,8 @@ class SpatialCrossAttention(nn.Module):
         )
 
         # orientation follows the child's (q-minor machinery kept for A/B;
-        # MSDeformableAttention3D._out_q_minor currently pins q-major)
-        qmin = MSDeformableAttention3D(msda_impl=self.msda_impl)._out_q_minor()
+        # MSDeformableAttention3D.OUT_Q_MINOR currently pins q-major)
+        qmin = MSDeformableAttention3D.OUT_Q_MINOR
         slots = QDense(self.embed_dims, quant=self.quant, name="output_proj")(
             slots, q_minor="in" if qmin else False
         )
@@ -391,7 +397,7 @@ class CustomMSDeformableAttention(nn.Module):
         v = v.reshape(1, -1, H, C // H)
         off = QDense(H * L * P * 2, quant=self.quant, name="sampling_offsets")(query)
         attn = QDense(H * L * P, quant=self.quant, name="attention_weights")(query)
-        out = resolve_msda_impl(self.msda_impl, self.quant)(
+        out = resolve_msda_impl(self.msda_impl, effective_quant(self.quant, self.path + ('msda_tables',)))(
             v,
             reference_points.reshape(1, nq, 1, 2),
             off.reshape(1, nq, H, L * P * 2),
@@ -427,7 +433,7 @@ class MultiheadAttention(nn.Module):
         v = QDense(C, quant=self.quant, name="v_proj")(value)
         head_dim = C // self.num_heads
         use_flash = jax.default_backend() == "tpu" and head_dim in (32, 64)
-        int8_flash = use_flash and self.quant == "int8"
+        int8_flash = use_flash and effective_quant(self.quant, self.path + ('flash',)) == "int8"
         if self.quant and not int8_flash:
             # int8 flash quantizes q/k/v itself (dynamic per-tensor scales);
             # a fake-quant pass before it would just double-round

@@ -69,6 +69,15 @@ def pipeline_apply(
     """
     S = mesh.shape[axis]
     M = x.shape[0]
+    # shard_map accepts any multiple of the pp axis for the leading dim, but
+    # `body` squeezes each device's block with p[0] — a k*S leading axis would
+    # silently drop k-1 stages per device.  Require exactly one stage/device.
+    for leaf in jax.tree.leaves(stacked_params):
+        if leaf.shape[0] != S:
+            raise ValueError(
+                f"pipeline_apply: stacked_params leading axis {leaf.shape[0]} "
+                f"!= mesh '{axis}' size {S} (one stage per device required)"
+            )
     perm = [(i, (i + 1) % S) for i in range(S)]  # ring; last hop's payload unused
 
     def body(params_s, xs):

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from .fake_quant import fake_quant
 from .observers import NUM_BINS, update_amax, update_histogram
+from .policy import quant_excluded
 
 
 class QDQ(nn.Module):
@@ -30,7 +31,7 @@ class QDQ(nn.Module):
         def ret(y, scale=None):
             return (y, scale) if self.with_scale else y
 
-        if not self.enabled:
+        if not self.enabled or quant_excluded(self.path):
             return ret(x)
         if self.is_mutable_collection("amax_stats"):
             amax = self.variable("amax_stats", "amax", lambda: jnp.zeros((), jnp.float32))

@@ -502,8 +502,12 @@ def load_variables(path: str, template, family: str = "bevformer", cfg=None):
 
     # restore only the collections a training checkpoint actually stores —
     # a quant-instrumented model's init template also carries calibration
-    # collections (amax_stats/hist_stats) that a params checkpoint lacks
+    # collections (amax_stats/hist_stats) that a params checkpoint lacks.
+    # One read+parse: re-validate the already-parsed dict against the
+    # sub-template instead of loading the file twice.
+    import flax.serialization
+
     raw = load_checkpoint(path)
     sub_template = {k: v for k, v in template.items() if k in raw}
-    restored = load_checkpoint(path, template=sub_template)
+    restored = flax.serialization.from_state_dict(sub_template, raw)
     return {**template, **restored}

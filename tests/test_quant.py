@@ -331,3 +331,110 @@ def test_entropy_scale_matches_pytorch_quantization_oracle(rng, dist):
     if dist == "gauss_outliers":
         # both must clip the outlier tail hard
         assert ours_clip < 0.5 * amax and oracle_clip < 0.5 * amax
+
+
+class TestMixedPrecisionPolicy:
+    """quant/policy.py: per-site exclusion (the reference's INT8+FP16
+    dual-flag per-layer fallback, det2trt/convert/onnx2tensorrt.py:49-54)."""
+
+    def test_pattern_matching(self):
+        from bevformer_tensorrt_tpu.quant.policy import (
+            effective_quant,
+            quant_excluded,
+            set_quant_exclude,
+        )
+
+        set_quant_exclude(("decoder", "*reference_points*", "layers_0/ffn"))
+        try:
+            assert quant_excluded(("pts_bbox_head", "transformer", "decoder", "x"))
+            assert quant_excluded(("a", "reference_points"))
+            assert quant_excluded(("enc", "layers_0", "ffn", "fc1"))
+            assert not quant_excluded(("enc", "layers_1", "ffn", "fc1"))
+            assert effective_quant("int8", ("decoder", "q_proj")) is False
+            assert effective_quant("int8", ("encoder", "q_proj")) == "int8"
+            assert effective_quant(False, ("decoder",)) is False
+        finally:
+            set_quant_exclude(())
+
+    def test_policy_sidecar_roundtrip(self, tmp_path):
+        from bevformer_tensorrt_tpu.quant.policy import load_policy, save_policy
+
+        art = tmp_path / "scales.msgpack"
+        art.write_bytes(b"")
+        save_policy(art, exclude=("decoder", "flash"), method="entropy")
+        assert load_policy(art) == ("decoder", "flash")
+        assert load_policy(tmp_path / "other.msgpack") == ()
+
+    def test_qdense_exclusion_runs_fp(self, rng):
+        """An excluded QDense must ignore its calibrated scale entirely —
+        bit-identical to the plain fp layer."""
+        from bevformer_tensorrt_tpu.models.layers import QDense
+        from bevformer_tensorrt_tpu.quant.policy import set_quant_exclude
+
+        class Wrap(nn.Module):
+            quant: bool | str = False
+
+            @nn.compact
+            def __call__(self, x):
+                return QDense(8, quant=self.quant, name="proj")(x)
+
+        x = jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))
+        dense_q = Wrap(quant="int8")
+        dense_fp = Wrap(quant=False)
+        v = dense_fp.init(jax.random.PRNGKey(0), x)
+        vq = {**v, "quant": {"proj": {"qdq_in": {"scale": jnp.float32(0.05)}}}}
+        set_quant_exclude(("proj",))
+        try:
+            y_ex = dense_q.apply(vq, x)
+        finally:
+            set_quant_exclude(())
+        y_fp = dense_fp.apply(v, x)
+        np.testing.assert_array_equal(np.asarray(y_ex), np.asarray(y_fp))
+        # and without exclusion the int8 path actually quantizes
+        y_q = dense_q.apply(vq, x)
+        assert np.max(np.abs(np.asarray(y_q) - np.asarray(y_fp))) > 0
+
+    def test_detector_config_exclusion_changes_output(self, rng):
+        """quant_exclude is honored through the full detector: excluding the
+        decoder changes the quantized output and leaves fp untouched."""
+        from bevformer_tensorrt_tpu.configs.bevformer import bevformer_micro
+        from bevformer_tensorrt_tpu.models.detectors.bevformer import BEVFormer
+        from flax import traverse_util
+
+        cfg_q = bevformer_micro(quant=True, msda_impl="jnp")
+        m = BEVFormer(cfg_q)
+        nq = cfg_q.bev_h * cfg_q.bev_w
+        args = (
+            jnp.asarray(
+                rng.standard_normal(
+                    (1, cfg_q.num_cams, 3, cfg_q.img_h, cfg_q.img_w)
+                ).astype(np.float32)
+            ),
+            jnp.zeros((nq, 1, cfg_q.embed_dims), jnp.float32),
+            jnp.float32(0.0),
+            jnp.zeros(cfg_q.can_bus_dims, jnp.float32),
+            jnp.asarray(rng.standard_normal((1, cfg_q.num_cams, 4, 4)).astype(np.float32)),
+        )
+        v = m.init(jax.random.PRNGKey(0), *args)
+        _, mut = m.apply(v, *args, mutable=["amax_stats"])
+        flat = traverse_util.flatten_dict(mut["amax_stats"])
+        scales = {
+            p[:-1] + ("scale",): jnp.maximum(x, 1e-6) / 127.0 for p, x in flat.items()
+        }
+        qv = {**v, "quant": traverse_util.unflatten_dict(scales)}
+        out_all = m.apply(qv, *args)
+
+        cfg_ex = bevformer_micro(
+            quant=True, msda_impl="jnp", quant_exclude=("decoder",)
+        )
+        out_ex = BEVFormer(cfg_ex).apply(qv, *args)
+
+        cfg_fp = bevformer_micro(quant=False, msda_impl="jnp")
+        out_fp = BEVFormer(cfg_fp).apply(
+            {"params": v["params"], "batch_stats": v["batch_stats"]}, *args
+        )
+
+        d_all = float(jnp.max(jnp.abs(out_all[2] - out_fp[2])))
+        d_ex = float(jnp.max(jnp.abs(out_ex[2] - out_fp[2])))
+        assert d_all > 0 and d_ex > 0
+        assert d_ex != d_all  # exclusion changed the quantized graph

@@ -30,7 +30,21 @@ def main():
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--length", type=int, default=500, help="calibration frames")
     ap.add_argument("--method", default="entropy", choices=["max", "percentile", "entropy"])
+    ap.add_argument(
+        "--also-methods", default=None,
+        help="comma list of extra methods: the stats passes are method-"
+        "independent, so additional scale-dicts cost no device time; each is "
+        "written next to --out with a .<method> suffix",
+    )
     ap.add_argument("--percentile", type=float, default=99.99)
+    ap.add_argument(
+        "--exclude", action="append", default=None,
+        help="mixed-precision site pattern kept in fp (repeatable; persisted "
+        "into the artifact so evaluate/export pick it up — the reference's "
+        "INT8+FP16 dual-flag behavior, onnx2tensorrt.py:49-54)",
+    )
+    ap.add_argument("--save-stats", default=None,
+                    help="also save raw amax+hist stats (npz) for offline analysis")
     ap.add_argument("--out", required=True)
     args = ap.parse_args()
 
@@ -48,7 +62,7 @@ def main():
         NuScenesFrames,
     )
     from bevformer_tensorrt_tpu.models.detectors.bevformer import BEVFormer
-    from bevformer_tensorrt_tpu.quant.calibrate import calibrate
+    from flax import traverse_util
     from bevformer_tensorrt_tpu.runtime.checkpoint import load_checkpoint, save_checkpoint
     from bevformer_tensorrt_tpu.runtime.engine import BEVFormerEngine
 
@@ -120,17 +134,41 @@ def main():
         )
         return mutated
 
-    print(f"calibration: method={args.method}", file=sys.stderr)
-    quant_vars, result = calibrate(
-        apply_fn, variables_q, batches, method=args.method, percentile=args.percentile
+    methods = [args.method] + (
+        [m for m in args.also_methods.split(",") if m] if args.also_methods else []
     )
-    from bevformer_tensorrt_tpu.quant.fold import fold_int8_weights
+    print(f"calibration: methods={methods}", file=sys.stderr)
+    from bevformer_tensorrt_tpu.quant.calibrate import collect_stats, scales_from_stats
 
-    # deploy artifact: fold per-channel int8 weights + scales next to
-    # the activation scales so quant='int8' never re-quantizes weights
-    quant_vars = {"quant": fold_int8_weights({**variables_q, **quant_vars})["quant"]}
-    save_checkpoint(args.out, quant_vars)
-    print(f"saved {len(result.scales)} scales -> {args.out}")
+    amax_stats, hist_stats = collect_stats(
+        apply_fn, variables_q, batches, with_hist=methods != ["max"]
+    )
+    if args.save_stats:
+        flat_a = {
+            "amax/" + "/".join(p[:-1]): np.asarray(v)
+            for p, v in traverse_util.flatten_dict(amax_stats).items()
+        }
+        flat_h = {
+            "hist/" + "/".join(p[:-1]): np.asarray(v)
+            for p, v in traverse_util.flatten_dict(hist_stats).items()
+        }
+        np.savez(args.save_stats, **flat_a, **flat_h)
+        print(f"saved raw stats -> {args.save_stats}", file=sys.stderr)
+
+    from bevformer_tensorrt_tpu.quant.fold import fold_int8_weights
+    from bevformer_tensorrt_tpu.quant.policy import save_policy
+
+    for mi, method in enumerate(methods):
+        quant_vars, result = scales_from_stats(
+            amax_stats, hist_stats, method=method, percentile=args.percentile
+        )
+        # deploy artifact: fold per-channel int8 weights + scales next to
+        # the activation scales so quant='int8' never re-quantizes weights
+        quant_vars = {"quant": fold_int8_weights({**variables_q, **quant_vars})["quant"]}
+        out = args.out if mi == 0 else f"{args.out}.{method}"
+        save_checkpoint(out, quant_vars)
+        save_policy(out, exclude=args.exclude or (), method=method)
+        print(f"saved {len(result.scales)} scales ({method}) -> {out}")
 
 
 if __name__ == "__main__":

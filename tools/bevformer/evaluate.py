@@ -36,6 +36,11 @@ def main():
         " sites, the reference's PTQ-eval), 'int8' executes real int8"
         " matmuls/convs/kernels using the checkpoint's folded weights",
     )
+    ap.add_argument(
+        "--quant-exclude", action="append", default=None,
+        help="mixed-precision site pattern kept in fp (repeatable); defaults "
+        "to the policy persisted next to --quant-scales (calibrate --exclude)",
+    )
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument(
         "--cam-budget", type=float, default=1.0,
@@ -109,10 +114,21 @@ def main():
     from bevformer_tensorrt_tpu.runtime.engine import BEVFormerEngine
 
     quant = False
+    exclude = ()
     if args.quant_scales:
         quant = "int8" if args.quant == "int8" else True
+        from bevformer_tensorrt_tpu.quant.policy import load_policy
+
+        exclude = (
+            tuple(args.quant_exclude)
+            if args.quant_exclude is not None
+            else load_policy(args.quant_scales)
+        )
+        if exclude:
+            print(f"mixed precision: excluding {exclude}", file=sys.stderr)
     cfg = getattr(cfgs, f"bevformer_{args.model}")(
-        dtype=args.dtype, quant=quant, cam_budget=args.cam_budget
+        dtype=args.dtype, quant=quant, cam_budget=args.cam_budget,
+        quant_exclude=exclude,
     )
     model = BEVFormer(cfg)
     norm = IMG_NORM_PYTORCH if args.model == "tiny" else IMG_NORM_CAFFE

@@ -186,8 +186,19 @@ def main():
     quant_vars = None
     if qat:
         # calibrated scales drive the QDQ fake-quant sites; without them the
-        # sites are identity and "QAT" would silently train plain fp
-        quant_vars = load_checkpoint(args.quant_scales)["quant"]
+        # sites are identity and "QAT" would silently train plain fp.
+        # Strip calibration-time folded int8 weights (wq/wscale): fake-quant
+        # never reads them, and under quant='int8' they'd be STALE copies of
+        # the pre-QAT params (evaluate.py re-folds via attach_quant_scales).
+        from flax import traverse_util
+
+        quant_vars = traverse_util.unflatten_dict({
+            p: v
+            for p, v in traverse_util.flatten_dict(
+                load_checkpoint(args.quant_scales)["quant"]
+            ).items()
+            if p[-1] not in ("wq", "wscale")
+        })
 
     p_shard = param_shardings(mesh, params)
     params = jax.device_put(params, p_shard)
