@@ -120,7 +120,9 @@ def main():
         from bevformer_tensorrt_tpu.quant.policy import load_policy
 
         exclude = (
-            tuple(args.quant_exclude)
+            # empty strings dropped: `--quant-exclude ""` explicitly requests
+            # pure int8, overriding any sidecar policy
+            tuple(p for p in args.quant_exclude if p)
             if args.quant_exclude is not None
             else load_policy(args.quant_scales)
         )
