@@ -91,11 +91,17 @@ class TemporalSelfAttention(nn.Module):
     def __call__(
         self,
         query,            # [1, Nq, C]
-        value,            # [2, Nq, C] = [prev_bev, current bev]
+        value,            # [2, Ngrid, C] = [prev_bev, current bev] SAMPLING grid
         identity,         # [1, Nq, C]
         query_pos,        # [1, Nq, C]
         reference_points,  # [2, Nq, 1, 2] hybrid (shifted prev ref, ref)
         spatial_shapes: Tuple[Tuple[int, int], ...],  # ((bev_h, bev_w),)
+        value_q=None,     # [2, Nq, C] query-ALIGNED history rows for the
+                          # offset/weight concat; defaults to `value`.  The
+                          # two roles coincide when Nq == Ngrid (sequential
+                          # encoder); the pipeline-parallel encoder chunks
+                          # the query axis, so its per-chunk rows differ
+                          # from the full sampling grid (parallel/pp_encoder).
     ):
         C, H, L, P, Q = (
             self.embed_dims,
@@ -105,6 +111,9 @@ class TemporalSelfAttention(nn.Module):
             self.num_bev_queue,
         )
         nq = query.shape[1]
+        nq_v = value.shape[1]
+        if value_q is None:
+            value_q = value
         if query_pos is not None:
             query = query + query_pos
 
@@ -117,8 +126,8 @@ class TemporalSelfAttention(nn.Module):
             packed = msda_packing(self.msda_impl, effective_quant(self.quant, self.path + ('msda_tables',)))
             v_t = QDense(C, quant=self.quant, name="value_proj")(
                 value, q_minor="out"
-            )  # [Q, C, nq]
-            qcat = jnp.concatenate([value[0:1], query], axis=-1)  # [1, nq, 2C]
+            )  # [Q, C, nq_v]
+            qcat = jnp.concatenate([value_q[0:1], query], axis=-1)  # [1, nq, 2C]
             off_t = QDense(
                 Q * H * L * P * 2, quant=self.quant, name="sampling_offsets"
             )(qcat, q_minor="out")
@@ -145,9 +154,9 @@ class TemporalSelfAttention(nn.Module):
             return out + (query if identity is None else identity)
         else:
             # concat prev-frame BEV with the (pos-augmented) query
-            qcat = jnp.concatenate([value[0:1], query], axis=-1)  # [1, Nq, 2C]
+            qcat = jnp.concatenate([value_q[0:1], query], axis=-1)  # [1, Nq, 2C]
             v = QDense(C, quant=self.quant, name="value_proj")(value)
-            v = v.reshape(Q, nq, H, C // H)
+            v = v.reshape(Q, nq_v, H, C // H)
             off = QDense(
                 Q * H * L * P * 2, quant=self.quant, name="sampling_offsets"
             )(qcat)

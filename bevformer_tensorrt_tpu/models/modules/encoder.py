@@ -122,6 +122,74 @@ def cam_budget_overflow(cfg, lidar2img: np.ndarray) -> Tuple[np.ndarray, int]:
     return visible, int(max(0, visible.max() - K))
 
 
+def encoder_geometry(cfg, lidar2img, shift, use_prev_bev, spatial_shapes):
+    """Frame geometry shared by every encoder layer: hybrid 2D reference
+    points, per-camera 3D projections + visibility, and the camera
+    compaction (top-K + sigma sort).  Factored out of BEVFormerEncoder so
+    the pipeline-parallel path (parallel/pp_encoder.py) consumes the EXACT
+    same construction.  Returns (hybrid_ref_2d [2, nq, 1, 2],
+    reference_points_cam [cams, nq, pillar*2], bev_mask [cams, nq, 1],
+    compaction or None)."""
+    nq = cfg.bev_h * cfg.bev_w
+
+    ref_3d = jnp.asarray(
+        get_reference_points_3d(cfg.bev_h, cfg.bev_w, cfg.num_points_in_pillar)
+    )
+    ref_2d = ref_3d[0, 0, :, :2].reshape(1, nq, 1, 2)
+
+    reference_points_cam, bev_mask = point_sampling(
+        ref_3d, cfg.pc_range, lidar2img, (cfg.img_h, cfg.img_w), cfg.num_cams
+    )
+
+    shift_ref_2d = ref_2d + shift.reshape(1, 1, 1, 2) * use_prev_bev
+    hybrid_ref_2d = jnp.concatenate([shift_ref_2d, ref_2d], axis=0)  # [2, nq, 1, 2]
+
+    # camera compaction is frame geometry — compute the per-camera top-K
+    # ONCE and share it across every layer's cross-attention.
+    from .attention import msda_impl_is_sorted
+
+    compaction = None
+    K = min(nq, max(128, -(-int(nq * cfg.cam_budget) // 128) * 128))
+    # sorted impl: compute the compaction even at K == nq (pure
+    # permutation) — the sigma sort is what makes the kernel fast
+    if K < nq or msda_impl_is_sorted(cfg.msda_impl):
+        mask_flat = bev_mask.reshape(cfg.num_cams, nq)
+        topv, topi = jax.lax.top_k(mask_flat, K)
+        # sigma ordering: sort each camera's selected queries by the
+        # projected image position (row-major pixel key at the finest
+        # level) of the middle z-anchor — the sorted-tap MSDA kernel's
+        # 128-tap rows then cluster in few key panels.  Semantically
+        # free: the output scatter at `topi` un-permutes.  Invisible
+        # selections (mask 0) sort to the end.
+        H0, W0 = spatial_shapes[0]
+        ref_all = jnp.take_along_axis(
+            reference_points_cam, topi[..., None], axis=1
+        )  # [cams, K, pillar*2] — per query (x, y) per z-anchor
+        zmid = cfg.num_points_in_pillar // 2
+        u = ref_all[..., 2 * zmid]
+        v = ref_all[..., 2 * zmid + 1]
+        skey = jnp.clip(jnp.floor(v * H0), 0, H0 - 1) * W0 + jnp.clip(
+            jnp.floor(u * W0), 0, W0 - 1
+        )
+        skey = jnp.where(topv > 0, skey, jnp.float32(H0 * W0 + 1))
+        order = jnp.argsort(skey, axis=1)
+        topi = jnp.take_along_axis(topi, order, axis=1)
+        topv = jnp.take_along_axis(topv, order, axis=1)
+        ref_c = jnp.take_along_axis(
+            reference_points_cam, topi[..., None], axis=1
+        ).reshape(cfg.num_cams, K, 1, -1)
+        # invisible selections (mask weight 0) carry garbage projected
+        # coordinates — pin them just outside the image (2.0): bilinear
+        # weights become exactly 0 and their keys clamp to one border
+        # panel, so the sorted-tap kernel's tail rows stay span-1
+        # instead of sweeping panels wherever the garbage lands.
+        ref_c = jnp.where(
+            (topv > 0).reshape(cfg.num_cams, K, 1, 1), ref_c, 2.0
+        )
+        compaction = (topi, topv, ref_c)
+    return hybrid_ref_2d, reference_points_cam, bev_mask, compaction
+
+
 class BEVFormerLayer(nn.Module):
     """self_attn -> norm -> cross_attn -> norm -> ffn -> norm
     (operation_order, configs/bevformer/bevformer_base.py:114-121)."""
@@ -140,6 +208,10 @@ class BEVFormerLayer(nn.Module):
         spatial_shapes: Tuple[Tuple[int, int], ...],
         prev_bev,              # [2, nq, C] (already muxed with use_prev_bev)
         compaction=None,       # frame-invariant (topi, topv, ref_c)
+        prev_q=None,           # [2, chunk, C] query-aligned history rows when
+                               # `query` is a CHUNK of the BEV grid (the
+                               # pipeline-parallel encoder) — None means
+                               # query grid == sampling grid (sequential)
     ):
         cfg = self.cfg
         identity = query
@@ -162,6 +234,7 @@ class BEVFormerLayer(nn.Module):
             bev_pos,
             hybrid_ref_2d,
             ((cfg.bev_h, cfg.bev_w),),
+            prev_q,
         )
         query = nn.LayerNorm(epsilon=1e-5, name="norm1")(query).astype(dt)
         identity = query
@@ -209,65 +282,10 @@ class BEVFormerEncoder(nn.Module):
         spatial_shapes: Tuple[Tuple[int, int], ...],
     ):
         cfg = self.cfg
-        nq = cfg.bev_h * cfg.bev_w
-
-        ref_3d = jnp.asarray(
-            get_reference_points_3d(cfg.bev_h, cfg.bev_w, cfg.num_points_in_pillar)
+        hybrid_ref_2d, reference_points_cam, bev_mask, compaction = (
+            encoder_geometry(cfg, lidar2img, shift, use_prev_bev, spatial_shapes)
         )
-        ref_2d = ref_3d[0, 0, :, :2].reshape(1, nq, 1, 2)
-
-        reference_points_cam, bev_mask = point_sampling(
-            ref_3d, cfg.pc_range, lidar2img, (cfg.img_h, cfg.img_w), cfg.num_cams
-        )
-
-        shift_ref_2d = ref_2d + shift.reshape(1, 1, 1, 2) * use_prev_bev
-        hybrid_ref_2d = jnp.concatenate([shift_ref_2d, ref_2d], axis=0)  # [2, nq, 1, 2]
-
         prev_queue = jnp.concatenate([prev_bev, bev_query], axis=0)  # [2, nq, C]
-
-        # camera compaction is frame geometry — compute the per-camera top-K
-        # ONCE and share it across every layer's cross-attention.
-        from .attention import msda_impl_is_sorted
-
-        compaction = None
-        K = min(nq, max(128, -(-int(nq * cfg.cam_budget) // 128) * 128))
-        # sorted impl: compute the compaction even at K == nq (pure
-        # permutation) — the sigma sort is what makes the kernel fast
-        if K < nq or msda_impl_is_sorted(cfg.msda_impl):
-            mask_flat = bev_mask.reshape(cfg.num_cams, nq)
-            topv, topi = jax.lax.top_k(mask_flat, K)
-            # sigma ordering: sort each camera's selected queries by the
-            # projected image position (row-major pixel key at the finest
-            # level) of the middle z-anchor — the sorted-tap MSDA kernel's
-            # 128-tap rows then cluster in few key panels.  Semantically
-            # free: the output scatter at `topi` un-permutes.  Invisible
-            # selections (mask 0) sort to the end.
-            H0, W0 = spatial_shapes[0]
-            ref_all = jnp.take_along_axis(
-                reference_points_cam, topi[..., None], axis=1
-            )  # [cams, K, pillar*2] — per query (x, y) per z-anchor
-            zmid = cfg.num_points_in_pillar // 2
-            u = ref_all[..., 2 * zmid]
-            v = ref_all[..., 2 * zmid + 1]
-            skey = jnp.clip(jnp.floor(v * H0), 0, H0 - 1) * W0 + jnp.clip(
-                jnp.floor(u * W0), 0, W0 - 1
-            )
-            skey = jnp.where(topv > 0, skey, jnp.float32(H0 * W0 + 1))
-            order = jnp.argsort(skey, axis=1)
-            topi = jnp.take_along_axis(topi, order, axis=1)
-            topv = jnp.take_along_axis(topv, order, axis=1)
-            ref_c = jnp.take_along_axis(
-                reference_points_cam, topi[..., None], axis=1
-            ).reshape(cfg.num_cams, K, 1, -1)
-            # invisible selections (mask weight 0) carry garbage projected
-            # coordinates — pin them just outside the image (2.0): bilinear
-            # weights become exactly 0 and their keys clamp to one border
-            # panel, so the sorted-tap kernel's tail rows stay span-1
-            # instead of sweeping panels wherever the garbage lands.
-            ref_c = jnp.where(
-                (topv > 0).reshape(cfg.num_cams, K, 1, 1), ref_c, 2.0
-            )
-            compaction = (topi, topv, ref_c)
 
         # sequence parallelism over the BEV-query axis (SURVEY §2.6 TPU-native
         # column): under an ambient mesh the 40k-query tensors split over tp;

@@ -50,11 +50,15 @@ def stage_param_sharding(mesh: Mesh, stacked_params: Any, axis: str = "pp") -> A
 
 
 def pipeline_apply(
-    fn: Callable,          # (stage_params, x) -> y, same shape/dtype as x
+    fn: Callable,          # (stage_params, x[, c]) -> y, same shape/dtype as x
     stacked_params: Any,   # pytree with leading stage axis [S, ...]
     x: jax.Array,          # [M, ...] microbatches (M >= 1)
     mesh: Mesh,
     axis: str = "pp",
+    consts: Any = None,    # optional pytree of [M, ...] per-microbatch
+                           # constants, replicated to every stage (the stage
+                           # indexes its current microbatch's slice; they do
+                           # NOT hop with the activations)
 ) -> jax.Array:
     """Run M microbatches through S homogeneous pipeline stages.
 
@@ -66,9 +70,20 @@ def pipeline_apply(
     t - s (when 0 <= t - s < M); activations hop s -> s+1 via ppermute.
     Dead ticks compute on zeros and are masked — wasted FLOPs are the
     pipeline bubble, not a correctness concern.
+
+    With `consts`, fn is called as fn(stage_params, x_m, consts_m) where
+    consts_m is each leaf's [t - s]-th slice — side inputs that vary per
+    microbatch but are identical for every stage (e.g. per-query geometry
+    when microbatching the BEV-query axis, see parallel/pp_encoder.py).
     """
     S = mesh.shape[axis]
     M = x.shape[0]
+    for leaf in jax.tree.leaves(consts) if consts is not None else ():
+        if leaf.shape[0] != M:
+            raise ValueError(
+                f"pipeline_apply: consts leading axis {leaf.shape[0]} != "
+                f"microbatch count {M}"
+            )
     # shard_map accepts any multiple of the pp axis for the leading dim, but
     # `body` squeezes each device's block with p[0] — a k*S leading axis would
     # silently drop k-1 stages per device.  Require exactly one stage/device.
@@ -80,7 +95,7 @@ def pipeline_apply(
             )
     perm = [(i, (i + 1) % S) for i in range(S)]  # ring; last hop's payload unused
 
-    def body(params_s, xs):
+    def body(params_s, xs, cs):
         # params_s: this device's stage params (leading axis stripped by
         # shard_map to size 1) — squeeze it
         params_s = jax.tree.map(lambda p: p[0], params_s)
@@ -93,7 +108,17 @@ def pipeline_apply(
             x_in = lax.dynamic_index_in_dim(xs, jnp.clip(t, 0, M - 1), 0,
                                             keepdims=False)
             inp = jnp.where(sidx == 0, x_in, state)
-            y = fn(params_s, inp)
+            if consts is None:
+                y = fn(params_s, inp)
+            else:
+                # stage s at tick t holds microbatch t - s; fetch its consts
+                # (dead ticks gather a clamped slice and are masked anyway)
+                m_dev = jnp.clip(t - sidx, 0, M - 1)
+                c_m = jax.tree.map(
+                    lambda c: lax.dynamic_index_in_dim(c, m_dev, 0, keepdims=False),
+                    cs,
+                )
+                y = fn(params_s, inp, c_m)
             # last stage emits microbatch t - (S-1)
             m = t - (S - 1)
             outs = lax.cond(
@@ -115,13 +140,15 @@ def pipeline_apply(
         return lax.psum(outs, axis)
 
     pp_spec = P(axis)
+    cs = consts if consts is not None else ()
     return shard_map(
         body,
         mesh=mesh,
         in_specs=(
             jax.tree.map(lambda _: pp_spec, stacked_params),
             P(*([None] * x.ndim)),
+            jax.tree.map(lambda c: P(*([None] * c.ndim)), cs),
         ),
         out_specs=P(*([None] * x.ndim)),
         check_rep=False,
-    )(stacked_params, x)
+    )(stacked_params, x, cs)
