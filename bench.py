@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--detail-out", default=None,
                     help="write per-iteration latencies to this JSON file")
+    ap.add_argument("--knobs", default=None,
+                    help="export artifact dir with autotuned kernel knobs "
+                    "(knobs.json from tools/bevformer/export.py --autotune)")
     args = ap.parse_args()
 
     # Relay watchdog: on the tunneled axon backend a wedged relay makes
@@ -81,6 +84,13 @@ def main():
         return
 
     import jax
+
+    if args.knobs:
+        from bevformer_tensorrt_tpu.runtime.autotune import apply_knobs, load_knobs
+
+        knobs = load_knobs(args.knobs)
+        apply_knobs(knobs)
+        log(f"kernel knobs from {args.knobs}: {knobs}")
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -59,7 +59,10 @@ def bev_pool_v2(
       [1, out_height, out_width, C] pooled BEV features.
     """
     C = feat.shape[-1]
-    cdtype = jnp.float32
+    # interval's cumsum needs f32 (boundary differences); the scatter paths
+    # accumulate in the INPUT dtype so a bf16 deploy halves the scatter and
+    # gather bytes (per-cell sums are short — tens of points)
+    cdtype = jnp.float32 if impl == "interval" else jnp.promote_types(depth.dtype, feat.dtype)
     d_flat = depth.astype(cdtype).reshape(-1)
     f_flat = feat.astype(cdtype).reshape(-1, C)
 
@@ -93,6 +96,11 @@ def bev_pool_v2(
 
     rb = jnp.where(valid, ranks_bev, cells)  # pad bucket
     out = jnp.zeros((cells + 1, C), cdtype)
-    out = out.at[rb].add(contrib, mode="drop")
+    # ranks_bev is sorted ascending over the valid prefix and pads map to
+    # the max bucket, so rb is globally sorted — 'scatter_sorted' passes the
+    # hint through to the TPU scatter unit (A/B: tools/bevpool_ab.py)
+    out = out.at[rb].add(
+        contrib, mode="drop", indices_are_sorted=(impl == "scatter_sorted")
+    )
     out = out[:-1].reshape(1, out_height, out_width, C)
     return out.astype(feat.dtype)

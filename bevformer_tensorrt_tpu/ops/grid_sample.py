@@ -120,7 +120,14 @@ def grid_sample_2d(
     out_dtype = inp.dtype
     cdtype = jnp.float32
     grid = grid.astype(cdtype)
-    inp_flat = inp.reshape(N, C, H * W).astype(cdtype)
+    # coordinates are ALWAYS f32 (see module docstring), but the data path
+    # keeps bf16 inputs in bf16: converting the whole feature map to f32
+    # up front costs more than the op itself at deploy shapes (OPBENCH_r3:
+    # bf16 0.396 ms vs fp32 0.164 — the 0.23 ms was the input convert+copy),
+    # and bf16 gathers move half the bytes.  Bicubic keeps f32 blends (its
+    # overshooting negative weights lose real precision in bf16).
+    blend_dtype = jnp.bfloat16 if inp.dtype == jnp.bfloat16 and mode != "bicubic" else cdtype
+    inp_flat = inp.reshape(N, C, H * W).astype(blend_dtype)
 
     x = _unnormalize(grid[..., 0], W, align_corners)
     y = _unnormalize(grid[..., 1], H, align_corners)
@@ -151,11 +158,12 @@ def grid_sample_2d(
         v01 = _gather_2d(inp_flat, ix1, iy0, H, W)
         v10 = _gather_2d(inp_flat, ix0, iy1, H, W)
         v11 = _gather_2d(inp_flat, ix1, iy1, H, W)
+        bd = blend_dtype
         out = (
-            v00 * (wx0 * wy0)[:, None]
-            + v01 * (wx1 * wy0)[:, None]
-            + v10 * (wx0 * wy1)[:, None]
-            + v11 * (wx1 * wy1)[:, None]
+            v00 * (wx0 * wy0).astype(bd)[:, None]
+            + v01 * (wx1 * wy0).astype(bd)[:, None]
+            + v10 * (wx0 * wy1).astype(bd)[:, None]
+            + v11 * (wx1 * wy1).astype(bd)[:, None]
         )
         return out.astype(out_dtype)
 
@@ -206,7 +214,9 @@ def grid_sample_3d(
     out_dtype = inp.dtype
     cdtype = jnp.float32
     grid = grid.astype(cdtype)
-    inp_flat = inp.reshape(N, C, D * H * W).astype(cdtype)
+    # bf16 data stays bf16 through the gathers/blend (see grid_sample_2d)
+    blend_dtype = jnp.bfloat16 if inp.dtype == jnp.bfloat16 else cdtype
+    inp_flat = inp.reshape(N, C, D * H * W).astype(blend_dtype)
 
     x = _compute_coords(_unnormalize(grid[..., 0], W, align_corners), W, padding_mode, align_corners)
     y = _compute_coords(_unnormalize(grid[..., 1], H, align_corners), H, padding_mode, align_corners)
@@ -224,11 +234,13 @@ def grid_sample_3d(
     ix0, iy0, iz0 = x0f.astype(jnp.int32), y0f.astype(jnp.int32), z0f.astype(jnp.int32)
     ix1, iy1, iz1 = ix0 + 1, iy0 + 1, iz0 + 1
 
-    out = jnp.zeros((N, C) + x.shape[1:], cdtype)
+    out = jnp.zeros((N, C) + x.shape[1:], blend_dtype)
     for (iz, wz) in ((iz0, wz0), (iz1, wz1)):
         for (iy, wy) in ((iy0, wy0), (iy1, wy1)):
             for (ix, wx) in ((ix0, wx0), (ix1, wx1)):
-                out = out + _gather_3d(inp_flat, ix, iy, iz, D, H, W) * (wx * wy * wz)[:, None]
+                out = out + _gather_3d(inp_flat, ix, iy, iz, D, H, W) * (
+                    wx * wy * wz
+                ).astype(blend_dtype)[:, None]
     return out.astype(out_dtype)
 
 

@@ -86,3 +86,46 @@ class TestExportCLIs:
         outs = g(variables, img)
         flat = [np.asarray(x) for x in jax.tree.leaves(outs)]
         assert flat and all(np.isfinite(a).all() for a in flat)
+
+
+def test_autotune_select_persist_roundtrip(tmp_path):
+    """runtime/autotune.py: grid sweep picks the fastest knob set, failed
+    layouts are recorded (not fatal), and the persisted knobs round-trip
+    into the trace-time env channel — the serialized-algo-id behavior of
+    the reference plugin (multiHeadAttnPlugin.cpp:246-335)."""
+    import os
+
+    from bevformer_tensorrt_tpu.runtime.autotune import (
+        DEFAULT_GRID,
+        apply_knobs,
+        autotune,
+        load_knobs,
+        save_knobs,
+    )
+
+    fake = {("1", "0"): 0.5, ("2", "0"): 0.4, ("4", "0"): 0.3,
+            ("4", "1"): 0.45, ("8", "0"): 0.35, ("8", "1"): 0.6,
+            ("2", "1"): 0.55}
+
+    def bench_once(knobs):
+        key = (knobs["MSDA_NP"], knobs["MSDA_TWO_PLANE"])
+        if key == ("1", "1"):
+            raise RuntimeError("VMEM OOM")  # a layout that fails to compile
+        return fake[key]
+
+    result = autotune(bench_once, DEFAULT_GRID)
+    assert result["knobs"] == {"MSDA_NP": "4", "MSDA_TWO_PLANE": "0"}
+    assert any("error" in r for r in result["table"])
+    assert len(result["table"]) == len(DEFAULT_GRID)
+
+    save_knobs(tmp_path, result)
+    loaded = load_knobs(tmp_path)
+    assert loaded == result["knobs"]
+    apply_knobs(loaded)
+    try:
+        assert os.environ["MSDA_NP"] == "4"
+        assert os.environ["MSDA_TWO_PLANE"] == "0"
+        assert "MSDA_QBB" not in os.environ  # unset knobs are cleared
+    finally:
+        apply_knobs(None)
+    assert load_knobs(tmp_path / "nope") is None

@@ -38,7 +38,22 @@ def timeit(fn, *args, iters=5, warmup=2):
         r = fn(*args)
         np.asarray(jax.tree.leaves(r)[0].ravel()[0])
         ts.append(time.perf_counter() - t0)
-    return float(np.mean(ts))
+    return float(np.median(ts))
+
+
+CHAIN_K = 8
+
+
+def slope_time(fn1, fnk, *args, iters=5):
+    """Per-frame DEVICE time as the slope between a 1-frame and a K-frame
+    chained jit (the K applications carry a data dependency, so they
+    serialize on device).  Cancels the ~28 ms relay dispatch floor AND any
+    per-call host overhead — the CLAUDE.md chained-probe methodology,
+    honest for sub-floor models (reference bevdet runs 4.2 ms/frame; a
+    dispatch-floor-bound raw FPS says nothing about the device)."""
+    t1 = timeit(fn1, *args, iters=iters)
+    tk = timeit(fnk, *args, iters=iters)
+    return max((tk - t1) / (CHAIN_K - 1), 1e-6), t1
 
 
 def bench_bevformer(name, dtype):
@@ -60,9 +75,22 @@ def bench_bevformer(name, dtype):
         jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (1, cfg.num_cams, 1, 1))),
     )
     v = jax.jit(model.init)(jax.random.PRNGKey(0), *args)
+    v = jax.device_put(v)
     fn = jax.jit(lambda v, *a: model.apply(v, *a))
-    dt = timeit(fn, v, *args)
-    return 1.0 / dt, 1
+
+    # chain: the recurrent prev_bev feeds the next frame (the REAL serving
+    # dependency), K frames in one dispatch
+    @jax.jit
+    def fnk(v, image, prev_bev, use_prev, can_bus, l2i):
+        pb = prev_bev
+        out = None
+        for _ in range(CHAIN_K):
+            out = model.apply(v, image, pb, use_prev, can_bus, l2i)
+            pb = out[0]
+        return out
+
+    dt, dt1 = slope_time(fn, fnk, v, *args)
+    return 1.0 / dt1, 1.0 / dt, 1
 
 
 def bench_bevdet(dtype):
@@ -99,9 +127,20 @@ def bench_bevdet(dtype):
         if use_iv else (None, None)
     )
     v = jax.jit(model.init)(jax.random.PRNGKey(0), img, rd, rf, rb, *iv)
-    fn = jax.jit(lambda v, img: model.apply(v, img, rd, rf, rb, *iv))
-    dt = timeit(fn, v, img)
-    return 1.0 / dt, 1
+    v = jax.device_put(v)
+    fn = jax.jit(lambda v, img: model.apply(v, img, rd, rf, rb, *iv)["reg"])
+
+    @jax.jit
+    def fnk(v, img):
+        x = img
+        heads = None
+        for _ in range(CHAIN_K):
+            heads = model.apply(v, x, rd, rf, rb, *iv)
+            x = img * (1 + 0 * heads["reg"].mean().astype(img.dtype))
+        return heads["reg"]
+
+    dt, dt1 = slope_time(fn, fnk, v, img)
+    return 1.0 / dt1, 1.0 / dt, 1
 
 
 def bench_2d(which, dtype, batch=32):
@@ -123,9 +162,24 @@ def bench_2d(which, dtype, batch=32):
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.standard_normal((batch, 3, cfg.img_size, cfg.img_size)), jnp.float32)
     v = jax.jit(model.init)(jax.random.PRNGKey(0), img)
+    v = jax.device_put(v)
     fn = jax.jit(lambda v, img: model.apply(v, img))
-    dt = timeit(fn, v, img)
-    return batch / dt, batch
+
+    def first_leaf(r):
+        import jax as _j
+        return _j.tree.leaves(r)[0]
+
+    @jax.jit
+    def fnk(v, img):
+        x = img
+        r = None
+        for _ in range(CHAIN_K):
+            r = model.apply(v, x)
+            x = img * (1 + 0 * first_leaf(r).mean().astype(img.dtype))
+        return r
+
+    dt, dt1 = slope_time(fn, fnk, v, img)
+    return batch / dt1, batch / dt, batch
 
 
 def main():
@@ -174,13 +228,14 @@ def main():
     for m in args.models:
         try:
             if m in ("tiny", "small", "base"):
-                fps, bs = bench_bevformer(m, args.dtype)
+                fps, net, bs = bench_bevformer(m, args.dtype)
             elif m == "bevdet":
-                fps, bs = bench_bevdet(args.dtype)
+                fps, net, bs = bench_bevdet(args.dtype)
             else:
-                fps, bs = bench_2d(m, args.dtype)
-            # floor is paid once per CALL; a call processes `bs` frames
-            net = bs / max(bs / fps - floor_s, 1e-6)
+                fps, net, bs = bench_2d(m, args.dtype)
+            # fps: raw per-call rate (pays the relay dispatch floor once per
+            # call); fps_net: chained-slope device rate (the deployable
+            # number — production serving doesn't pay a dev-tunnel floor)
             out[m] = {
                 "fps": round(fps, 2),
                 "fps_net": round(net, 2),

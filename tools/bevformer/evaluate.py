@@ -43,6 +43,11 @@ def main():
     )
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument(
+        "--knobs", default=None,
+        help="export artifact dir whose autotuned kernel knobs (knobs.json, "
+        "export.py --autotune) are applied before tracing",
+    )
+    ap.add_argument(
         "--cam-budget", type=float, default=1.0,
         help="camera-compaction budget (fraction of BEV queries kept per "
         "camera). Accuracy evals default to 1.0 = exact (reference dynamic "
@@ -78,6 +83,13 @@ def main():
     from bevformer_tensorrt_tpu.runtime.export import enable_compilation_cache
 
     enable_compilation_cache()  # persistent cache: skip remote recompiles
+
+    if args.knobs:
+        from bevformer_tensorrt_tpu.runtime.autotune import apply_knobs, load_knobs
+
+        knobs = load_knobs(args.knobs)
+        apply_knobs(knobs)
+        print(f"kernel knobs from {args.knobs}: {knobs}", file=sys.stderr)
 
     pid, nproc = 0, 1
     if args.distributed or os.environ.get("JAX_COORDINATOR_ADDRESS"):

@@ -41,6 +41,14 @@ def main():
         "--aot", action="store_true",
         help="also AOT-compile for THIS chip (warms the persistent cache)",
     )
+    ap.add_argument(
+        "--autotune", action="store_true",
+        help="sweep the sorted-MSDA kernel-layout knob grid at the deploy "
+        "shapes on THIS chip and bake + persist the winner (knobs.json) — "
+        "the reference's build-time cuBLAS algo search serialized into the "
+        "engine (multiHeadAttnPlugin.cpp:246-335)",
+    )
+    ap.add_argument("--autotune-iters", type=int, default=5)
     args = ap.parse_args()
 
     import os
@@ -93,6 +101,43 @@ def main():
 
     def forward(v, image, prev_bev, use_prev, can_bus, l2i):
         return model.apply(v, image, prev_bev, use_prev, can_bus, l2i)
+
+    if args.autotune:
+        # build-time kernel-layout search at the REAL deploy shapes; the
+        # winner is applied to the env (trace-time channel) so the StableHLO
+        # and AOT artifacts below bake the tuned layout, and persisted as
+        # knobs.json for tools that re-trace (runtime/autotune.py docstring)
+        import time
+
+        from bevformer_tensorrt_tpu.runtime.autotune import (
+            apply_knobs,
+            autotune,
+            save_knobs,
+        )
+
+        dev_vars = jax.device_put(variables)
+
+        def bench_once(knobs):
+            apply_knobs(knobs)
+            jax.clear_caches()
+            f = jax.jit(forward)
+            o = f(dev_vars, *ex_args)
+            jax.block_until_ready(o)  # compile + first run
+            ts = []
+            for _ in range(args.autotune_iters):
+                t0 = time.perf_counter()
+                o = f(dev_vars, *ex_args)
+                # force real readback (tunneled backends ack early)
+                np.asarray(jax.tree.leaves(o)[-1].ravel()[0])
+                ts.append(time.perf_counter() - t0)
+            return float(np.median(ts))
+
+        result = autotune(bench_once)
+        apply_knobs(result["knobs"])
+        jax.clear_caches()
+        save_knobs(out, result)
+        print(f"autotune winner: {result['knobs']} "
+              f"({result['seconds'] * 1e3:.1f} ms/frame)", file=sys.stderr)
 
     export_serialized(forward, (variables, *ex_args), out / "model.stablehlo")
     save_checkpoint(str(out / "variables.msgpack"), variables)

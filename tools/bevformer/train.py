@@ -54,7 +54,17 @@ def main():
         "chunked XLA forward+backward (default — safest everywhere)",
     )
     ap.add_argument("--steps", type=int, default=1000)
-    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument(
+        "--lr", type=float, default=None,
+        help="peak lr (default 2e-4; QAT default 1e-6, the reference's "
+        "quant_aware_train.sh recipe — an explicit --lr overrides both)",
+    )
+    ap.add_argument(
+        "--warmup", type=int, default=None,
+        help="linear warmup steps (default min(500, steps//5) — the "
+        "reference uses 500 over a 24-epoch run, bevformer_base.py "
+        "lr_config; short overfit/QAT runs need proportionally less)",
+    )
     ap.add_argument("--out", default="checkpoints/bevformer.msgpack")
     ap.add_argument("--resume", default=None,
                     help="resume params/batch_stats from a prior --out checkpoint "
@@ -172,9 +182,11 @@ def main():
     max_gt = min(MAX_GT, cfg.num_query)
 
     # QAT uses the reference's recipe: tiny lr (1e-6), 1 epoch
-    # (configs/bevformer/bevformer_base_trt_q.py:64-78)
-    lr = 1e-6 if qat else args.lr
-    tx = make_optimizer(learning_rate=lr, total_steps=args.steps)
+    # (configs/bevformer/bevformer_base_trt_q.py:64-78); explicit --lr wins
+    lr = args.lr if args.lr is not None else (1e-6 if qat else 2e-4)
+    warmup = args.warmup if args.warmup is not None else min(500, args.steps // 5)
+    tx = make_optimizer(learning_rate=lr, total_steps=args.steps,
+                        warmup_steps=warmup)
     params, batch_stats, opt_state = init_train_state(model, jax.random.PRNGKey(0), cfg, tx)
     start_from = args.resume or args.checkpoint
     if start_from:
