@@ -33,8 +33,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="base", choices=["tiny", "small", "base", "micro"])
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
-    ap.add_argument("--quant", default="none", choices=["none", "qdq", "int8"],
-                    help="int8: real int8 matmuls/convs with max-calibrated scales")
+    ap.add_argument("--quant", default="int8", choices=["none", "qdq", "int8"],
+                    help="int8 (default): real int8 matmuls/convs/kernels — "
+                    "the apples-to-apples configuration: the reference's 2.2 "
+                    "FPS baseline row is itself an INT8+FP16 dual-flag "
+                    "MMDeploy engine (README.md:30, onnx2tensorrt.py:49-54), "
+                    "and this repo's int8 carries accuracy evidence "
+                    "(ABLATION_r4/ACCURACY_r4: percentile calibration, NDS "
+                    "drop ~0).  'none' benches the pure-bf16 path")
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--detail-out", default=None,

@@ -34,7 +34,11 @@ def main():
     ap.add_argument("--quant-scales", default=None, help="enable QAT with these scales")
     ap.add_argument("--steps", type=int, default=1000)
     ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument(
+        "--lr", type=float, default=None,
+        help="peak lr (default 1e-4; QAT default 1e-6, the reference's "
+        "1-epoch tiny-lr recipe — an explicit --lr overrides both)",
+    )
     ap.add_argument("--out", default="checkpoints/2d.msgpack")
     ap.add_argument("--log-every", type=int, default=10)
     ap.add_argument(
@@ -111,7 +115,8 @@ def main():
     if qat:
         extra["quant"] = load_checkpoint(args.quant_scales)["quant"]
 
-    lr = 1e-6 if qat else args.lr  # reference QAT recipe: tiny-lr fine-tune
+    # reference QAT recipe: tiny-lr fine-tune; explicit --lr overrides
+    lr = args.lr if args.lr is not None else (1e-6 if qat else 1e-4)
     tx = optax.chain(optax.clip_by_global_norm(35.0), optax.adamw(lr, weight_decay=1e-4))
     opt_state = tx.init(params)
 
