@@ -31,7 +31,15 @@ class ClsBranch(nn.Module):
         x = QDense(cfg.embed_dims, quant=cfg.quant, name="fc2")(x)
         x = nn.LayerNorm(epsilon=1e-5, name="ln2")(x)
         x = nn.relu(x)
-        return QDense(cfg.num_classes, quant=cfg.quant, name="out")(x)
+        # focal-loss prior bias (mmdet bias_init_with_prob(0.01) = -4.595,
+        # DETRHead.init_weights — the reference initializes every cls branch
+        # this way).  Imported checkpoints overwrite it; from-scratch
+        # training otherwise starts at loss ~560 and burns hundreds of
+        # steps re-deriving the prior (NOTES_r4).
+        return QDense(
+            cfg.num_classes, quant=cfg.quant, name="out",
+            bias_init=nn.initializers.constant(-4.595),
+        )(x)
 
 
 class RegBranch(nn.Module):

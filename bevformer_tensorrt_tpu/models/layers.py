@@ -74,6 +74,7 @@ class QDense(nn.Module):
     use_bias: bool = True
     quant: bool | str = False
     dtype: Optional[jnp.dtype] = None
+    bias_init: Any = nn.initializers.zeros
 
     @nn.compact
     def __call__(self, x, q_minor: bool | str = False):
@@ -136,7 +137,7 @@ class QDense(nn.Module):
                     s_in * (w_scale[:, None] if qm_out else w_scale)
                 )
                 if self.use_bias:
-                    bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+                    bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
                     y = badd(y, bias)
                 return y.astype(x.dtype)
             x = x_scaled
@@ -144,7 +145,7 @@ class QDense(nn.Module):
         dtype = self.dtype or x.dtype
         y = mm(x.astype(dtype), kernel.astype(dtype))
         if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
             y = badd(y, bias.astype(dtype))
         return y
 
