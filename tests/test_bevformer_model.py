@@ -208,3 +208,22 @@ def test_cam_budget_runtime_guard(rng):
         eng.infer_frame(image, can_bus, l2i, scene_token="s0")
     msgs = [x for x in w if "cam_budget" in str(x.message)]
     assert len(msgs) == 1, [str(x.message) for x in w]
+
+
+def test_cls_branch_focal_bias_init():
+    """From-scratch cls branches carry mmdet's focal-prior bias
+    (bias_init_with_prob(0.01) = -4.595, DETRHead.init_weights) — without
+    it, from-scratch training starts at loss ~560 re-deriving the class
+    prior (NOTES_r4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bevformer_tensorrt_tpu.configs.bevformer import bevformer_micro
+    from bevformer_tensorrt_tpu.models.heads.bevformer_head import ClsBranch
+
+    cfg = bevformer_micro()
+    v = ClsBranch(cfg).init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 4, cfg.embed_dims))
+    )
+    b = np.asarray(v["params"]["out"]["bias"])
+    np.testing.assert_allclose(b, -4.595, rtol=1e-6)
