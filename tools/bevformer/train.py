@@ -314,6 +314,24 @@ def main():
         )
 
     it = temporal_batch_iter() if args.temporal else batch_iter()
+
+    # same host-side guard the engine runs at deploy (runtime/engine.py):
+    # a rig whose cameras see more BEV queries than the compaction budget
+    # would silently truncate cross-attention during TRAINING too.
+    if getattr(cfg, "cam_budget", 1.0) < 1.0:
+        from bevformer_tensorrt_tpu.models.modules.encoder import cam_budget_overflow
+
+        l2i0 = frames.frame(0).lidar2img
+        visible, overflow = cam_budget_overflow(cfg, np.asarray(l2i0))
+        if overflow > 0:
+            print(
+                f"WARNING: cam_budget={cfg.cam_budget} drops up to {overflow} "
+                f"visible BEV queries/camera on this rig (visible "
+                f"{visible.tolist()}); train with cam_budget=1.0 for exact "
+                "cross-attention",
+                file=sys.stderr,
+            )
+
     t0 = time.perf_counter()
     for step in range(args.steps):
         batch = put_batch(next(it))
