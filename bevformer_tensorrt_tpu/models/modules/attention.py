@@ -406,7 +406,19 @@ class CustomMSDeformableAttention(nn.Module):
         v = v.reshape(1, -1, H, C // H)
         off = QDense(H * L * P * 2, quant=self.quant, name="sampling_offsets")(query)
         attn = QDense(H * L * P, quant=self.quant, name="attention_weights")(query)
-        out = resolve_msda_impl(self.msda_impl, effective_quant(self.quant, self.path + ('msda_tables',)))(
+        # static dispatch: the sorted kernel streams/packs the whole BEV
+        # value table per call — built for the encoder's 40k-query loads.
+        # The decoder gathers only nq*H*L*P*4 corners (900 queries -> ~115k
+        # rows vs a 40k-key table): when that's under the table size the
+        # chunked XLA gather path wins (trace 2026-08-19: 6 x ~2.9 ms sorted
+        # vs ~0.3 ms est. jnp).  MSDA_DECODER_IMPL overrides for A/B.
+        import os
+
+        nk = v.shape[1]
+        impl = os.environ.get("MSDA_DECODER_IMPL", "")
+        if not impl:
+            impl = "jnp" if nq * H * L * P * 4 < nk * H else self.msda_impl
+        out = resolve_msda_impl(impl, effective_quant(self.quant, self.path + ('msda_tables',)))(
             v,
             reference_points.reshape(1, nq, 1, 2),
             off.reshape(1, nq, H, L * P * 2),
