@@ -249,3 +249,58 @@ def test_sorted_model_grad_runs(rng):
     for a, b in zip(flat_j, flat_s):
         assert np.isfinite(np.asarray(b)).all()
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=5e-3, atol=5e-5)
+
+
+def test_sorted_model_grad_with_active_compaction(rng):
+    """Gradient parity sorted_f32-vs-jnp with the camera compaction ACTIVE
+    (K < nq) — the tiny/base configuration the micro-shaped grad test never
+    reaches (micro has K == nq, a pure permutation).  Guards the top-K
+    gather + output scatter backward of the compacted cross-attention."""
+    import jax
+    import jax.numpy as jnp
+
+    from bevformer_tensorrt_tpu.configs.bevformer import bevformer_micro
+    from bevformer_tensorrt_tpu.models.detectors.bevformer import BEVFormer
+
+    mk = lambda impl: bevformer_micro(
+        encoder_layers=1, decoder_layers=1, bev_h=16, bev_w=16,
+        cam_budget=0.35, msda_impl=impl, rotate_center=(8, 8),
+    )
+    cfgs = {"jnp": mk("jnp"), "sorted": mk("sorted_f32")}
+    cfg = cfgs["jnp"]
+    nq = cfg.bev_h * cfg.bev_w
+    assert min(nq, max(128, -(-int(nq * cfg.cam_budget) // 128) * 128)) < nq
+
+    image = jnp.asarray(
+        rng.standard_normal((1, cfg.num_cams, 3, cfg.img_h, cfg.img_w)), jnp.float32
+    )
+    prev = jnp.asarray(rng.standard_normal((nq, 1, cfg.embed_dims)) * 0.1, jnp.float32)
+    can_bus = jnp.zeros(cfg.can_bus_dims, jnp.float32)
+    from test_full_model_parity import micro_rig
+
+    l2i = jnp.asarray(micro_rig(cfg, rng))
+
+    model_j = BEVFormer(cfgs["jnp"])
+    variables = model_j.init(
+        jax.random.PRNGKey(0), image, prev, jnp.float32(1.0), can_bus, l2i
+    )
+
+    grads = {}
+    for name, c in cfgs.items():
+        m = BEVFormer(c)
+
+        def loss(params):
+            _, classes, coords = m.apply(
+                {**variables, "params": params}, image, prev, jnp.float32(1.0),
+                can_bus, l2i,
+            )
+            return (classes.astype(jnp.float32) ** 2).sum() + (
+                coords.astype(jnp.float32) ** 2
+            ).sum()
+
+        grads[name] = jax.grad(loss)(variables["params"])
+    flat_j = jax.tree.leaves(grads["jnp"])
+    flat_s = jax.tree.leaves(grads["sorted"])
+    for a, b in zip(flat_j, flat_s):
+        assert np.isfinite(np.asarray(b)).all()
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=5e-3, atol=5e-5)

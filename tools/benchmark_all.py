@@ -111,12 +111,15 @@ def bench_bevdet(dtype):
     intr = np.stack(
         [np.array([[800.0, 0, cfg.input_w / 2], [0, 800.0, cfg.input_h / 2], [0, 0, 1]], np.float32)] * N
     )
-    # BEVPOOL_IMPL=interval selects the cumsum interval splat for A/B
-    # (ops/bev_pool.py impl='interval'); default scatter.
-    use_iv = os.environ.get("BEVPOOL_IMPL", "scatter") == "interval"
+    # interval (cumsum splat) + tight rank padding won the r4 A/B
+    # (tools/bevpool_ab.py: 4.14 ms vs 5.88 for scatter at 400k pad);
+    # BEVPOOL_IMPL=scatter restores the scatter-add for A/B.
+    use_iv = os.environ.get("BEVPOOL_IMPL", "interval") == "interval"
     gz = int(round((cfg.grid_zbound[1] - cfg.grid_zbound[0]) / cfg.grid_zbound[2]))
+    coor = get_lidar_coor(cfg, s2e, intr)
+    tight = -(-int(np.prod(coor.shape[:-1])) // 8192) * 8192
     ranks = voxel_pooling_prepare(
-        cfg, get_lidar_coor(cfg, s2e, intr), pad_to=400000,
+        cfg, coor, pad_to=tight,
         pad_intervals_to=cfg.bev_h * cfg.bev_w * gz if use_iv else None,
     )
     rng = np.random.default_rng(0)
