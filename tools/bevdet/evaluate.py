@@ -30,7 +30,7 @@ def main():
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--ranks-pad", type=int, default=400000)
     ap.add_argument(
-        "--pool-impl", default="scatter", choices=["scatter", "interval"],
+        "--pool-impl", default="interval", choices=["scatter", "interval"],
         help="bev_pool formulation (ops/bev_pool.py): 'interval' = cumsum "
         "splat over sorted ranks (TPU-friendly)",
     )

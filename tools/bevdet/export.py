@@ -39,7 +39,7 @@ def main():
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--ranks-pad", type=int, default=400000)
     ap.add_argument(
-        "--pool-impl", default="scatter", choices=["scatter", "interval"],
+        "--pool-impl", default="interval", choices=["scatter", "interval"],
         help="bev_pool formulation baked into the artifact (ops/bev_pool.py)",
     )
     ap.add_argument("--out", required=True)
