@@ -79,14 +79,19 @@ def bench_bevformer(name, dtype):
     fn = jax.jit(lambda v, *a: model.apply(v, *a))
 
     # chain: the recurrent prev_bev feeds the next frame (the REAL serving
-    # dependency), K frames in one dispatch
+    # dependency), K frames in one dispatch.  The image must ALSO carry a
+    # data dependency — a constant image lets XLA CSE the whole backbone +
+    # per-layer value tables across frames, reporting a bogus steady-state
+    # slope (first r4 run: 189 ms/frame "slope" vs 467 ms real).
     @jax.jit
     def fnk(v, image, prev_bev, use_prev, can_bus, l2i):
         pb = prev_bev
+        img = image
         out = None
         for _ in range(CHAIN_K):
-            out = model.apply(v, image, pb, use_prev, can_bus, l2i)
+            out = model.apply(v, img, pb, use_prev, can_bus, l2i)
             pb = out[0]
+            img = image * (1 + 0 * out[1].mean().astype(image.dtype))
         return out
 
     dt, dt1 = slope_time(fn, fnk, v, *args)
