@@ -48,6 +48,11 @@ def main():
     ap.add_argument("--knobs", default=None,
                     help="export artifact dir with autotuned kernel knobs "
                     "(knobs.json from tools/bevformer/export.py --autotune)")
+    ap.add_argument("--iter-stall-s", type=float, default=600.0,
+                    help="iteration-phase watchdog: if the relay stalls a "
+                    "single dispatch longer than this AFTER compilation "
+                    "finished, emit a JSON record from the iterations "
+                    "already collected instead of hanging forever")
     args = ap.parse_args()
 
     # Relay watchdog: on the tunneled axon backend a wedged relay makes
@@ -218,21 +223,62 @@ def main():
             jax.block_until_ready(out)
     log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
 
+    # Iteration phase under a stall watchdog: a mid-run relay outage can
+    # hang a single dispatch indefinitely AFTER compilation succeeded
+    # (observed 2026-08-20: first post-compile dispatch hung >40 min while
+    # the relay was wedged for every process) — the driver must still get
+    # a parseable record from whatever iterations completed.  The loop runs
+    # in a worker thread (the blocking host readback is a C call signals
+    # cannot interrupt) and the main thread watches progress.  Compile-phase
+    # hangs are deliberately NOT watched: exiting with a compile in flight
+    # can wedge the relay further (CLAUDE.md).
+    import threading
+
     lat = []
-    pb = prev_bev
-    for i in range(args.warmup + args.iters):
-        t0 = time.perf_counter()
-        bev_embed, classes, coords, probe = apply_fn(
-            variables, image, pb, jnp.float32(1.0), can_bus, lidar2img
-        )
-        pb = bev_embed  # recurrent state stays on device
-        # force a device->host readback: block_until_ready alone can return
-        # before remote execution finishes on tunneled backends
-        np.asarray(probe)
-        dt = time.perf_counter() - t0
-        if i >= args.warmup:
-            lat.append(dt)
-            log(f"iter {i - args.warmup:3d}: {dt * 1000:.1f} ms")
+    progress = [time.monotonic()]
+    done = threading.Event()
+
+    def run_iters():
+        pb = prev_bev
+        for i in range(args.warmup + args.iters):
+            t0 = time.perf_counter()
+            bev_embed, classes, coords, probe = apply_fn(
+                variables, image, pb, jnp.float32(1.0), can_bus, lidar2img
+            )
+            pb = bev_embed  # recurrent state stays on device
+            # force a device->host readback: block_until_ready alone can
+            # return before remote execution finishes on tunneled backends
+            np.asarray(probe)
+            dt = time.perf_counter() - t0
+            progress[0] = time.monotonic()
+            if i >= args.warmup:
+                lat.append(dt)
+                log(f"iter {i - args.warmup:3d}: {dt * 1000:.1f} ms")
+        done.set()
+
+    worker = threading.Thread(target=run_iters, daemon=True)
+    worker.start()
+    stalled = False
+    while worker.is_alive():
+        worker.join(timeout=min(5.0, max(0.2, args.iter_stall_s / 4)))
+        if not done.is_set() and time.monotonic() - progress[0] > args.iter_stall_s:
+            stalled = True
+            log(f"iteration watchdog: no dispatch completed in "
+                f"{args.iter_stall_s:.0f}s after {len(lat)} recorded iters — "
+                "relay stall; emitting partial record")
+            break
+
+    if stalled and len(lat) < 3:
+        print(json.dumps({
+            "metric": f"bevformer_{args.model}_{args.dtype}"
+            + ("" if args.quant == "none" else f"_{args.quant}") + "_fps",
+            "value": 0.0,
+            "unit": "frames/s",
+            "vs_baseline": 0.0,
+            "error": f"relay stalled mid-run with only {len(lat)} iterations recorded",
+        }))
+        import os as _os
+        _os._exit(3)
 
     # Per-iteration statistics.  On this tunneled backend the relay
     # occasionally injects multi-hundred-ms stalls that have nothing to do
@@ -267,13 +313,22 @@ def main():
             "min": round(min_ms, 1),
             "p90": round(p90_ms, 1),
         },
-        "iters": args.iters,
+        "iters": len(lat),
         "stragglers": stragglers,
     }
+    if stalled:
+        record["stalled_after_iters"] = len(lat)
     if args.detail_out:
         with open(args.detail_out, "w") as f:
             json.dump({**record, "per_iter_ms": [round(x, 1) for x in lat_ms.tolist()]}, f)
     print(json.dumps(record))
+    if stalled:
+        # the worker thread is still blocked inside a relay C call that a
+        # normal interpreter shutdown would wait on / trip over; the record
+        # above is complete, so exit cleanly
+        sys.stdout.flush()
+        import os as _os
+        _os._exit(0)
 
 
 if __name__ == "__main__":
