@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--frames", type=int, default=2,
                     help="frames captured inside the trace (divisor)")
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--ops", type=int, default=0,
+                    help="also print the top-N INDIVIDUAL device ops with "
+                    "XLA long_name/source attribution")
     args = ap.parse_args()
 
     paths = sorted(glob.glob(f"{args.trace_dir}/**/*.trace.json.gz", recursive=True))
@@ -51,6 +54,8 @@ def main():
     fam = collections.Counter()
     cnt = collections.Counter()
     env = collections.Counter()  # per jit-envelope family (init/apply/decode)
+    ops = collections.Counter()  # individual op -> total us
+    meta = {}                    # individual op -> XLA/source attribution
     for e in ev:
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
             continue
@@ -61,6 +66,12 @@ def main():
         g = re.sub(r"[.\d]+$", "", name)
         fam[g] += e.get("dur", 0)
         cnt[g] += 1
+        ops[name] += e.get("dur", 0)
+        if name not in meta:
+            a = e.get("args", {}) or {}
+            meta[name] = (
+                a.get("long_name") or a.get("tf_op") or a.get("source") or ""
+            )
     # the model frame is the DOMINANT envelope; a warmup/init/decode program
     # captured in the same window would otherwise inflate the total
     total = max(env.values()) if env else 0.0
@@ -73,6 +84,17 @@ def main():
         print(f"{d / n / 1e3:10.2f}  {cnt[name] // n:6d}  {name}")
         rows.append({"family": name, "ms_per_frame": round(d / n / 1e3, 2),
                      "calls_per_frame": cnt[name] // n})
+    if args.ops:
+        # individual-op attribution: the family table above hides WHICH
+        # fusion/copy dominates; this names them, with XLA's long_name /
+        # tf_op metadata (jax source path) when the trace carries it
+        print(f"\ntop {args.ops} individual ops:")
+        print(f"{'ms/frame':>10}  op  [attribution]")
+        for name, d in ops.most_common(args.ops):
+            m = meta.get(name, "")
+            m = (" [" + m[:160] + "]") if m else ""
+            print(f"{d / n / 1e3:10.2f}  {name}{m}")
+
     print(json.dumps({
         "device_ms_per_frame": round(total / n / 1e3, 1),
         "families": rows[:10],
