@@ -4,5 +4,5 @@ set -e
 DATA_ROOT=${DATA_ROOT:-data/nuscenes}
 python tools/bevformer/calibrate.py small \
   --infos "$DATA_ROOT/nuscenes_infos_temporal_val.pkl" \
-  --data-root "$DATA_ROOT" --length 500 --method entropy \
+  --data-root "$DATA_ROOT" --length 500 --method percentile \
   --out checkpoints/small_scales.msgpack "$@"

@@ -9,7 +9,7 @@ calibration through the QDQ sites, saving {"quant": scales} as the artifact
 
 Usage:
   python tools/bevformer/calibrate.py tiny --infos val.pkl --data-root ... \
-      --length 500 --method entropy --out scales.msgpack
+      --length 500 --method percentile --out scales.msgpack
 """
 from __future__ import annotations
 
