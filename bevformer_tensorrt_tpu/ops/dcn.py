@@ -182,8 +182,17 @@ def _dcn_pallas(
     qp = QB * 128
 
     # one kernel row (kw taps, same y) per union sweep: measured faster than
-    # rg=1 at every ch_group — the taps' windows overlap by construction
-    rg = kw if rows % kw == 0 else 1
+    # rg=1 at every ch_group — the taps' windows overlap by construction.
+    # DCN_RG=9 unions ALL taps into one sweep per block: pays one per-group
+    # fixed cost (the E-floor ~463 ns dominates at conv-like span~1) instead
+    # of kh, at the price of a kh-row union span — A/B on hardware.
+    import os as _os
+
+    rg_env = int(_os.environ.get("DCN_RG", "0"))
+    if rg_env and rows % rg_env == 0:
+        rg = rg_env
+    else:
+        rg = kw if rows % kw == 0 else 1
     ng = rows // rg
     panel = key // 128
     pg = panel.reshape(N, ng, rg, QB, 128)

@@ -258,6 +258,22 @@ def test_dcn_pallas_matches_xla(rng, stride, cin):
     b = _dcn_xla(x, offset, mask, weight, stride, 1, 1, 1, 1)
     assert _mad(a, np.asarray(b)) < 1e-5
 
+    # DCN_RG=9: all taps in ONE union sweep per block (sweep-layout A/B
+    # knob) — exact for any grouping, like every sorted-kernel layout knob
+    import jax
+
+    monkey = pytest.MonkeyPatch()
+    try:
+        monkey.setenv("DCN_RG", "9")
+        jax.clear_caches()  # rg is baked at trace time
+        a9 = _dcn_pallas(
+            x, offset, mask, weight, stride, 1, 1, packed=False, interpret=True
+        )
+    finally:
+        monkey.undo()
+        jax.clear_caches()
+    assert _mad(a9, np.asarray(b)) < 1e-5
+
 
 @pytest.mark.parametrize("packed", [False, True, "int8"])
 def test_dcn_nhwc_layout_matches_nchw(rng, packed):
