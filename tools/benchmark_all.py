@@ -194,6 +194,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", nargs="*", default=["tiny", "base", "bevdet", "yolox", "centernet"])
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--partial-out", default="/tmp/benchmark_all_partial.json",
+                    help="accumulated results written here after EVERY "
+                    "family, so an external kill loses nothing")
+    ap.add_argument("--family-timeout", type=float, default=2400.0,
+                    help="per-family stall watchdog (s): a mid-run relay "
+                    "outage marks the family stalled and emits the results "
+                    "collected so far instead of hanging forever")
     args = ap.parse_args()
 
     # relay watchdog (same as bench.py): a wedged axon relay hangs
@@ -232,15 +239,45 @@ def main():
     floor_s = timeit(tiny_fn, jnp.zeros((8, 128)), iters=10, warmup=3)
     print(f"dispatch floor: {floor_s * 1e3:.1f} ms", file=sys.stderr)
 
+    import threading
+
+    def run_family(m):
+        if m in ("tiny", "small", "base"):
+            return bench_bevformer(m, args.dtype)
+        elif m == "bevdet":
+            return bench_bevdet(args.dtype)
+        return bench_2d(m, args.dtype)
+
     out = {"dispatch_floor_ms": round(floor_s * 1e3, 1)}
     for m in args.models:
         try:
-            if m in ("tiny", "small", "base"):
-                fps, net, bs = bench_bevformer(m, args.dtype)
-            elif m == "bevdet":
-                fps, net, bs = bench_bevdet(args.dtype)
-            else:
-                fps, net, bs = bench_2d(m, args.dtype)
+            # per-family stall watchdog: the blocking readback is a C call
+            # signals can't interrupt, so run the family in a worker thread
+            # and join with a deadline.  On stall, DON'T continue to the
+            # next family (the relay is gone for this process) — emit what
+            # we have and exit.
+            box = {}
+
+            def work(m=m, box=box):
+                try:
+                    box["r"] = run_family(m)
+                except Exception as e:  # noqa: BLE001 - reported below
+                    box["e"] = e
+
+            th = threading.Thread(target=work, daemon=True)
+            th.start()
+            th.join(timeout=args.family_timeout)
+            if th.is_alive():
+                out[m] = {"error": f"stalled >{args.family_timeout:.0f}s (relay outage)"}
+                print(f"{m}: STALLED — emitting partial results", file=sys.stderr)
+                with open(args.partial_out, "w") as f:
+                    json.dump(out, f)
+                print(json.dumps(out))
+                sys.stdout.flush()
+                os._exit(0)
+            if "e" in box:
+                raise box["e"]
+            fps, net, bs = box["r"]
             # fps: raw per-call rate (pays the relay dispatch floor once per
             # call); fps_net: chained-slope device rate (the deployable
             # number — production serving doesn't pay a dev-tunnel floor)
@@ -259,6 +296,8 @@ def main():
         except Exception as e:
             out[m] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
             print(f"{m}: FAILED {type(e).__name__}", file=sys.stderr)
+        with open(args.partial_out, "w") as f:
+            json.dump(out, f)
     print(json.dumps(out))
 
 
