@@ -238,22 +238,29 @@ def main():
     progress = [time.monotonic()]
     done = threading.Event()
 
+    fail = []
+
     def run_iters():
         pb = prev_bev
-        for i in range(args.warmup + args.iters):
-            t0 = time.perf_counter()
-            bev_embed, classes, coords, probe = apply_fn(
-                variables, image, pb, jnp.float32(1.0), can_bus, lidar2img
-            )
-            pb = bev_embed  # recurrent state stays on device
-            # force a device->host readback: block_until_ready alone can
-            # return before remote execution finishes on tunneled backends
-            np.asarray(probe)
-            dt = time.perf_counter() - t0
-            progress[0] = time.monotonic()
-            if i >= args.warmup:
-                lat.append(dt)
-                log(f"iter {i - args.warmup:3d}: {dt * 1000:.1f} ms")
+        try:
+            for i in range(args.warmup + args.iters):
+                t0 = time.perf_counter()
+                bev_embed, classes, coords, probe = apply_fn(
+                    variables, image, pb, jnp.float32(1.0), can_bus, lidar2img
+                )
+                pb = bev_embed  # recurrent state stays on device
+                # force a device->host readback: block_until_ready alone can
+                # return before remote execution finishes on tunneled backends
+                np.asarray(probe)
+                dt = time.perf_counter() - t0
+                progress[0] = time.monotonic()
+                if i >= args.warmup:
+                    lat.append(dt)
+                    log(f"iter {i - args.warmup:3d}: {dt * 1000:.1f} ms")
+        except Exception as e:  # device crash mid-run (e.g. TPU worker
+            # restart) — report it instead of dying with an empty stats array
+            fail.append(e)
+            log(f"iteration failed after {len(lat)} recorded: {e}")
         done.set()
 
     worker = threading.Thread(target=run_iters, daemon=True)
@@ -268,14 +275,16 @@ def main():
                 "relay stall; emitting partial record")
             break
 
-    if stalled and len(lat) < 3:
+    if (stalled or fail) and len(lat) < 3:
+        why = (f"device error mid-run: {type(fail[0]).__name__}: {str(fail[0])[:160]}"
+               if fail else "relay stalled mid-run")
         print(json.dumps({
             "metric": f"bevformer_{args.model}_{args.dtype}"
             + ("" if args.quant == "none" else f"_{args.quant}") + "_fps",
             "value": 0.0,
             "unit": "frames/s",
             "vs_baseline": 0.0,
-            "error": f"relay stalled mid-run with only {len(lat)} iterations recorded",
+            "error": f"{why} with only {len(lat)} iterations recorded",
         }))
         import os as _os
         _os._exit(3)
@@ -318,6 +327,9 @@ def main():
     }
     if stalled:
         record["stalled_after_iters"] = len(lat)
+    if fail:
+        record["died_after_iters"] = len(lat)
+        record["error"] = f"{type(fail[0]).__name__}: {str(fail[0])[:160]}"
     if args.detail_out:
         with open(args.detail_out, "w") as f:
             json.dump({**record, "per_iter_ms": [round(x, 1) for x in lat_ms.tolist()]}, f)
