@@ -48,6 +48,9 @@ def main():
     ap.add_argument("--knobs", default=None,
                     help="export artifact dir with autotuned kernel knobs "
                     "(knobs.json from tools/bevformer/export.py --autotune)")
+    ap.add_argument("--quant-exclude", action="append", default=None,
+                    help="mixed-precision: site substrings kept in fp "
+                    "(quant/policy.py patterns, e.g. msda_tables, flash)")
     ap.add_argument("--iter-stall-s", type=float, default=600.0,
                     help="iteration-phase watchdog: if the relay stalls a "
                     "single dispatch longer than this AFTER compilation "
@@ -119,7 +122,12 @@ def main():
         args.model = "tiny"
 
     quant = {"none": False, "qdq": True, "int8": "int8"}[args.quant]
-    cfg = getattr(cfgs, f"bevformer_{args.model}")(dtype=args.dtype, quant=quant)
+    exclude = tuple(p for p in (args.quant_exclude or ()) if p)
+    if exclude:
+        log(f"mixed precision: excluding {exclude}")
+    cfg = getattr(cfgs, f"bevformer_{args.model}")(
+        dtype=args.dtype, quant=quant, quant_exclude=exclude
+    )
     model = BEVFormer(cfg)
     nq = cfg.bev_h * cfg.bev_w
 

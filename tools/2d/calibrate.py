@@ -27,7 +27,11 @@ def main():
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--length", type=int, default=512)
     ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--method", default="entropy", choices=["max", "percentile", "entropy"])
+    ap.add_argument("--method", default="percentile",
+                    choices=["max", "percentile", "entropy"],
+                    help="percentile-99.99 is the reference QDQ default and "
+                    "the ABLATION_r4.json winner (entropy-KL collapses "
+                    "long-tailed head activations)")
     ap.add_argument("--percentile", type=float, default=99.99)
     ap.add_argument("--out", required=True)
     args = ap.parse_args()
@@ -51,10 +55,11 @@ def main():
         model = YOLOX(cfg)
         ds = CocoDataset(args.ann, args.img_root, img_size=cfg.img_size)
     else:
-        from bevformer_tensorrt_tpu.configs.centernet import centernet_r18
+        from bevformer_tensorrt_tpu.configs import centernet as ccfg
         from bevformer_tensorrt_tpu.models.detectors.centernet import CenterNet
 
-        cfg = centernet_r18(quant=True)
+        # honor the requested tier (this used to hardcode centernet_r18)
+        cfg = getattr(ccfg, args.model)(quant=True)
         model = CenterNet(cfg)
         ds = CocoDataset(
             args.ann, args.img_root, img_size=cfg.img_size,

@@ -29,6 +29,14 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument("--quant-scales", default=None,
+                    help="PTQ scale-dict checkpoint (tools/2d/calibrate.py)")
+    ap.add_argument("--quant", default="int8", choices=["qdq", "int8"],
+                    help="with --quant-scales: 'qdq' fake-quant simulation, "
+                    "'int8' real int8 matmuls/convs (deploy path)")
+    ap.add_argument("--quant-exclude", action="append", default=None,
+                    help="mixed precision: site substrings kept in fp; "
+                    "defaults to the policy persisted next to --quant-scales")
     args = ap.parse_args()
 
     import jax
@@ -42,6 +50,20 @@ def main():
     from bevformer_tensorrt_tpu.evalsuite import evaluate_coco_map
     from bevformer_tensorrt_tpu.runtime.checkpoint import load_checkpoint
 
+    quant = False
+    exclude = ()
+    if args.quant_scales:
+        quant = "int8" if args.quant == "int8" else True
+        from bevformer_tensorrt_tpu.quant.policy import load_policy
+
+        exclude = (
+            tuple(p for p in args.quant_exclude if p)
+            if args.quant_exclude is not None
+            else load_policy(args.quant_scales)
+        )
+        if exclude:
+            print(f"mixed precision: excluding {exclude}", file=sys.stderr)
+
     if args.model.startswith("yolox"):
         from bevformer_tensorrt_tpu.configs import yolox as ycfg
         from bevformer_tensorrt_tpu.models.detectors.yolox import YOLOX
@@ -50,7 +72,9 @@ def main():
             yolox_post_process,
         )
 
-        cfg = getattr(ycfg, args.model)(dtype=args.dtype)
+        cfg = getattr(ycfg, args.model)(
+            dtype=args.dtype, quant=quant, quant_exclude=exclude
+        )
         model = YOLOX(cfg)
         ds = CocoDataset(args.ann, args.img_root, img_size=cfg.img_size)
 
@@ -66,11 +90,15 @@ def main():
             )
             return b / sample.scale, s, l
     else:
-        from bevformer_tensorrt_tpu.configs.centernet import centernet_r18
+        from bevformer_tensorrt_tpu.configs import centernet as ccfg
         from bevformer_tensorrt_tpu.models.detectors.centernet import CenterNet
         from bevformer_tensorrt_tpu.models.heads.centernet_head import centernet_decode
 
-        cfg = centernet_r18(dtype=args.dtype)
+        # honor the requested tier (this used to hardcode centernet_r18,
+        # silently evaluating centernet_micro at the r18 config)
+        cfg = getattr(ccfg, args.model)(
+            dtype=args.dtype, quant=quant, quant_exclude=exclude
+        )
         model = CenterNet(cfg)
         ds = CocoDataset(
             args.ann, args.img_root, img_size=cfg.img_size,
@@ -99,6 +127,14 @@ def main():
         family = "yolox" if args.model.startswith("yolox") else "centernet"
         variables = load_variables(args.checkpoint, variables, family=family, cfg=cfg)
         variables = jax.device_put(variables)  # pin on device: jit re-uploads host trees every call
+    if args.quant_scales:
+        from bevformer_tensorrt_tpu.quant.fold import attach_quant_scales
+
+        # re-fold int8 weights from THIS checkpoint's params (the scale
+        # artifact's folded weights are stale for a QAT-finetuned model)
+        scales = load_checkpoint(args.quant_scales)
+        variables = attach_quant_scales(variables, scales["quant"])
+        variables = jax.device_put(variables)
     infer_jit = jax.jit(infer)
 
     n = len(ds) if args.limit is None else min(args.limit, len(ds))
