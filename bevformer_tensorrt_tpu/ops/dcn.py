@@ -193,6 +193,16 @@ def _dcn_pallas(
         rg = rg_env
     else:
         rg = kw if rows % kw == 0 else 1
+        if rg_env:
+            # a DCN_RG that doesn't divide rows is IGNORED (baked at trace
+            # time) — warn so a hardware A/B can't silently measure the
+            # default layout (ADVICE r4)
+            import warnings
+
+            warnings.warn(
+                f"DCN_RG={rg_env} does not divide rows={rows}; using rg={rg}",
+                stacklevel=2,
+            )
     ng = rows // rg
     panel = key // 128
     pg = panel.reshape(N, ng, rg, QB, 128)

@@ -26,17 +26,26 @@ BASELINES = {  # reference best published FPS (BASELINE.md)
 }
 
 
+# per-dispatch progress marker: None while a family is still compiling
+# (compile-phase hangs must NOT trip the watchdog — killing a client
+# mid-compile can wedge the shared axon relay, CLAUDE.md); set after every
+# completed timed call so the watchdog only measures post-compile stalls.
+PROGRESS = [None]
+
+
 def timeit(fn, *args, iters=5, warmup=2):
     import jax
 
     for _ in range(warmup):
         r = fn(*args)
         np.asarray(jax.tree.leaves(r)[0].ravel()[0])
+        PROGRESS[0] = time.monotonic()
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
         r = fn(*args)
         np.asarray(jax.tree.leaves(r)[0].ravel()[0])
+        PROGRESS[0] = time.monotonic()
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
 
@@ -264,11 +273,27 @@ def main():
                 except Exception as e:  # noqa: BLE001 - reported below
                     box["e"] = e
 
+            # the deadline arms only once the family's first timed call has
+            # completed (PROGRESS advances past the family start) — the
+            # compile phase is unbounded by design: exiting mid-compile can
+            # wedge the relay for every process (CLAUDE.md; ADVICE r4).
+            PROGRESS[0] = None
             th = threading.Thread(target=work, daemon=True)
             th.start()
-            th.join(timeout=args.family_timeout)
-            if th.is_alive():
-                out[m] = {"error": f"stalled >{args.family_timeout:.0f}s (relay outage)"}
+            stalled = False
+            while th.is_alive():
+                th.join(timeout=5.0)
+                last = PROGRESS[0]
+                if (
+                    th.is_alive()
+                    and last is not None
+                    and time.monotonic() - last > args.family_timeout
+                ):
+                    stalled = True
+                    break
+            if stalled:
+                out[m] = {"error": f"stalled >{args.family_timeout:.0f}s "
+                          "post-compile (relay outage)"}
                 print(f"{m}: STALLED — emitting partial results", file=sys.stderr)
                 with open(args.partial_out, "w") as f:
                     json.dump(out, f)
