@@ -74,6 +74,27 @@ class BEVFormerConfig:
         return self.embed_dims // self.num_heads
 
 
+def _int8_defaults(d: dict, over: dict) -> dict:
+    """Default mixed-precision policy for quant='int8' tiers.
+
+    The temporal self-attention value tables stay bf16-packed under int8:
+    the in-model int8 TSA table program faults the v5e TPU worker at base
+    shapes (r5 investigation, NOTES_r5.md — data-dependent, survives every
+    kernel-layout variant, never reproduces standalone; all runs with the
+    TSA tables excluded are clean).  This mirrors the reference, which
+    never ships pure INT8 either: every int8 engine is built with the FP16
+    dual flag so TensorRT keeps fault- or accuracy-sensitive layers fp16
+    per layer (det2trt/convert/onnx2tensorrt.py:49-54).  Cost is small:
+    int8 tables buy only ~1.1-1.3x on the gather kernels (OPBENCH_r4) and
+    the TSA is ~10% of the frame.  An explicit quant_exclude override
+    disables this default.
+    """
+    merged = {**d, **over}
+    if merged.get("quant") == "int8" and "quant_exclude" not in over:
+        d = {**d, "quant_exclude": ("self_attn/msda_tables",)}
+    return d
+
+
 def bevformer_tiny(**over) -> BEVFormerConfig:
     """configs/bevformer/bevformer_tiny.py: R50 (last stage), 1 FPN level,
     50x50 BEV, 3 encoder layers, 480x800 input."""
@@ -89,6 +110,7 @@ def bevformer_tiny(**over) -> BEVFormerConfig:
         backbone_out_indices=(3,),
         dcn_stages=(False, False, False, False),
     )
+    d = _int8_defaults(d, over)
     d.update(over)
     return BEVFormerConfig(**d)
 
@@ -108,6 +130,7 @@ def bevformer_small(**over) -> BEVFormerConfig:
         backbone_out_indices=(3,),
         dcn_stages=(False, False, True, True),
     )
+    d = _int8_defaults(d, over)
     d.update(over)
     return BEVFormerConfig(**d)
 
@@ -134,6 +157,7 @@ def bevformer_micro(**over) -> BEVFormerConfig:
         dcn_stages=(False, False, False, False),
         rotate_center=(4, 4),
     )
+    d = _int8_defaults(d, over)
     d.update(over)
     return BEVFormerConfig(**d)
 
@@ -142,5 +166,6 @@ def bevformer_base(**over) -> BEVFormerConfig:
     """configs/bevformer/bevformer_base.py: R101-DCN, 4 FPN levels,
     200x200 BEV, 6 encoder layers, 900x1600 input."""
     d = dict(name="base")
+    d = _int8_defaults(d, over)
     d.update(over)
     return BEVFormerConfig(**d)

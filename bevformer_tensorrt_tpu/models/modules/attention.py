@@ -139,12 +139,14 @@ class TemporalSelfAttention(nn.Module):
             attn_t = attn_t.reshape(H, Q, L * P, nq).transpose(1, 0, 2, 3)
             ref_t = reference_points.reshape(Q, nq, 1, 2).transpose(0, 2, 3, 1)
             # debug surface: apply(..., mutable=['intermediates']) captures
-            # the exact kernel operands (tools/device_op_check.py replay)
-            self.sow(
-                "intermediates", "msda_in",
-                (v_t, ref_t, off_t.reshape(Q, H * L * P * 2, nq),
-                 attn_t.reshape(Q, H * L * P, nq)),
-            )
+            # the exact kernel operands (tools/msda_capture_repro.py); the
+            # init guard keeps the big capture tuples out of init variables
+            if not self.is_initializing():
+                self.sow(
+                    "intermediates", "msda_in",
+                    (v_t, ref_t, off_t.reshape(Q, H * L * P * 2, nq),
+                     attn_t.reshape(Q, H * L * P, nq)),
+                )
             out = multi_scale_deformable_attn_sorted_qm_diff(
                 v_t,
                 ref_t,
@@ -272,9 +274,10 @@ class MSDeformableAttention3D(nn.Module):
                     H * L * P, quant=self.quant, name="attention_weights"
                 )(q_c, q_minor="out")                # [cams, H*L*P, K]
                 ref_t = ref_c.reshape(cams, K, ppg, 2).transpose(0, 2, 3, 1)
-                self.sow(
-                    "intermediates", "msda_in", (v_t, ref_t, off_t, attn_t)
-                )
+                if not self.is_initializing():
+                    self.sow(
+                        "intermediates", "msda_in", (v_t, ref_t, off_t, attn_t)
+                    )
                 out_k = multi_scale_deformable_attn_sorted_qm_diff(
                     v_t, ref_t, off_t, attn_t, spatial_shapes, num_heads=H,
                     packed=packed, out_dtype=query.dtype,

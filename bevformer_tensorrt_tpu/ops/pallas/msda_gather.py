@@ -342,12 +342,26 @@ def msda_gather_sorted(
             memory_space=pltpu.VMEM,
         )
     )
+    # MSDA_DIMSEM=arbitrary forces Mosaic to treat both grid axes as
+    # sequential (no cross-program pipelining assumptions) — a debugging
+    # lever for the BENCH_r04 in-model kernel-fault investigation
+    import os as _os
+
+    cparams = None
+    if _os.environ.get("MSDA_DIMSEM") == "arbitrary":
+        cparams = pltpu.CompilerParams(
+            dimension_semantics=(
+                pltpu.GridDimensionSemantics.ARBITRARY,
+                pltpu.GridDimensionSemantics.ARBITRARY,
+            )
+        )
     out = pl.pallas_call(
         functools.partial(
             _kernel, rows=rows, ch=ch, corners=corners, packed=packed,
             row_group=row_group, emit_rows=emit_rows, q_blocks=QBB,
             two_plane=two_plane, panel_width=panel_width,
         ),
+        compiler_params=cparams,
         grid=(B, QBp // QBB),
         in_specs=[
             pl.BlockSpec(
