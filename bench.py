@@ -390,24 +390,42 @@ def main():
         log("no accelerator — falling back to tiny")
         args.model = "tiny"
 
-    # Fallback ladder (VERDICT r4 item 1): preferred -> conservative kernel
-    # knobs -> pure bf16.  A rung that dies early raises RunDied; the next
-    # rung rebuilds everything from scratch.
-    ladder = [(args.quant, {})]
-    ladder.append((args.quant, dict(CONSERVATIVE_KNOBS)))
-    if args.quant != "none" and not args.no_fallback:
-        ladder.append(("none", dict(CONSERVATIVE_KNOBS)))
-    if args.no_fallback:
-        ladder = ladder[:1]
-
+    # Reliability design (VERDICT r4 item 1, revised after the r5 device
+    # investigation): an int8 device fault POISONS the TPU worker for
+    # minutes — after one crash even known-stable bf16 programs fail until
+    # a long cool-down (NOTES_r5.md), so a crash-then-fallback ladder can
+    # zero every rung.  Instead, BANK a bf16 record first on the healthy
+    # worker (bf16 base has never faulted), then attempt the requested
+    # int8 config; if int8 dies, the banked bf16 record is emitted with an
+    # `int8_fallback` annotation — a nonzero metric is guaranteed before
+    # any risky program runs.
     errors = []
+    banked = None
+    if args.quant != "none" and not args.no_fallback:
+        try:
+            log("banking a bf16 record before attempting int8 "
+                "(crash-poisoning guard, NOTES_r5.md)")
+            banked = run_config(args, "none", {})
+        except Exception as e:
+            import traceback
+
+            log(traceback.format_exc())
+            errors.append(f"bank[bf16]: {type(e).__name__}: {str(e)[:200]}")
+
+    ladder = [(args.quant, {})]
+    if not args.no_fallback:
+        ladder.append((args.quant, dict(CONSERVATIVE_KNOBS)))
+        if args.quant == "none" or banked is None:
+            ladder.append(("none", dict(CONSERVATIVE_KNOBS)))
+
     record = None
     used = None
     for rung, (quant, knob_env) in enumerate(ladder):
-        if errors:
+        if errors and not (errors[-1].startswith("bank")):
+            settle = 180.0 if quant == args.quant else 300.0
             log(f"fallback rung {rung}: quant={quant} knobs={knob_env or 'default'}; "
-                "waiting 20s for the TPU worker to settle after the fault")
-            time.sleep(20.0)
+                f"waiting {settle:.0f}s for the TPU worker to settle after the fault")
+            time.sleep(settle)
         try:
             record = run_config(args, quant, knob_env)
             used = (rung, quant, knob_env)
@@ -421,6 +439,12 @@ def main():
             log(traceback.format_exc())
             errors.append(f"rung{rung}[quant={quant}]: {type(e).__name__}: {str(e)[:200]}")
             log(f"rung {rung} failed: {e}")
+
+    if record is None and banked is not None:
+        log("requested config failed on every rung — emitting the banked "
+            "bf16 record with the int8 failure annotated")
+        record = banked
+        used = (-1, "none", {})
 
     if record is None:
         emit({
@@ -442,12 +466,15 @@ def main():
         "vs_mmdeploy": round(fps / MMDEPLOY[args.model], 3),
         **{k: v for k, v in record.items() if k != "value"},
     }
-    if rung > 0:
+    if errors and (rung != 0 or quant != args.quant):
         out["fallback"] = {
             "rung": rung, "quant": quant,
             "knobs": knob_env or None,
             "reason": " | ".join(errors),
         }
+        if rung == -1:
+            out["int8_fallback"] = ("int8 config faulted the TPU worker on "
+                                    "every rung; this is the banked bf16 run")
     emit(out)
     if stalled:
         # the worker thread is still blocked inside a relay C call that a
