@@ -83,9 +83,12 @@ def probe_device():
     )
 
 
-def device_mem_mb():
-    """Peak HBM bytes-in-use if the backend exposes memory_stats (the
-    reference benchmark's Mem(MB) column, README.md:53-65)."""
+def device_mem_mb(lowered_compiled=None):
+    """HBM footprint for the reference benchmark's Mem(MB) column
+    (README.md:53-65).  Prefers live memory_stats; falls back to the
+    compiled executable's XLA memory analysis (arguments + outputs +
+    temporaries) — available even on tunneled backends that hide runtime
+    stats."""
     try:
         import jax
 
@@ -96,6 +99,19 @@ def device_mem_mb():
                 return round(peak / 1e6, 1)
     except Exception as e:  # pragma: no cover - backend-dependent
         log(f"memory_stats unavailable: {e}")
+    if lowered_compiled is not None:
+        try:
+            ma = lowered_compiled.memory_analysis()
+            total = (
+                getattr(ma, "argument_size_in_bytes", 0)
+                + getattr(ma, "output_size_in_bytes", 0)
+                + getattr(ma, "temp_size_in_bytes", 0)
+                - getattr(ma, "alias_size_in_bytes", 0)
+            )
+            if total > 0:
+                return round(total / 1e6, 1)
+        except Exception as e:  # pragma: no cover
+            log(f"memory_analysis unavailable: {e}")
     return None
 
 
@@ -221,7 +237,15 @@ def run_config(args, quant, knob_env):
             out = apply_fn(variables, image, prev_bev, jnp.float32(1.0), can_bus, lidar2img)
             jax.block_until_ready(out)
     log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
-    mem_mb = device_mem_mb()
+    try:
+        compiled = apply_fn.lower(
+            variables, image, prev_bev, jnp.float32(1.0), can_bus, lidar2img
+        ).compile()  # cache hit — cheap; gives the XLA memory analysis
+    except Exception:
+        compiled = None
+    mem_mb = device_mem_mb(compiled)
+    if mem_mb:
+        log(f"memory footprint: {mem_mb} MB")
 
     # Iteration phase under a stall watchdog: a mid-run relay outage can
     # hang a single dispatch indefinitely AFTER compilation succeeded

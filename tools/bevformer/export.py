@@ -158,7 +158,13 @@ def main():
         aot_compile(forward, (variables, *ex_args))
         print("AOT compile done (persistent cache warm)", file=sys.stderr)
     sizes = {p.name: p.stat().st_size for p in out.iterdir()}
-    print(json.dumps({"out": str(out), "artifacts": sizes}))
+    # the reference's Size(MB) column (README.md:53-65): total engine
+    # artifact bytes — here the StableHLO graph + weights + metadata
+    print(json.dumps({
+        "out": str(out),
+        "artifacts": sizes,
+        "artifact_mb": round(sum(sizes.values()) / 1e6, 1),
+    }))
 
 
 if __name__ == "__main__":
