@@ -343,7 +343,7 @@ def _pack_int8_quarters(vt, ch, scale):
     return (u8[:, 0] << 24) | (u8[:, 1] << 16) | (u8[:, 2] << 8) | u8[:, 3]
 
 
-def _pack_tables_from_vt(vt, spatial_shapes, packed, planes=4):
+def _pack_tables_from_vt(vt, spatial_shapes, packed, planes=4, tail_panels=0):
     """vt [B, ch, keys] (keys-minor, levels concatenated) -> (table
     [B, CHT, HWp], level_base panels, scale [B] or None): u32 packing
     (bf16 half-pairs, or int8 quarters with a dynamic per-B scale when
@@ -366,7 +366,7 @@ def _pack_tables_from_vt(vt, spatial_shapes, packed, planes=4):
         w = _pack_bf16_halves(vt, ch)  # [B, ch/2, keys]
     else:
         w = vt.astype(jnp.float32)
-    return (*_roll_pad_levels(w, spatial_shapes, planes), scale)
+    return (*_roll_pad_levels(w, spatial_shapes, planes, tail_panels), scale)
 
 
 def _pack_tables_from_xlast(xl, ch_group, spatial_shapes, packed, planes=4):
@@ -416,16 +416,23 @@ def _pack_tables_from_xlast(xl, ch_group, spatial_shapes, packed, planes=4):
     return (*_roll_pad_levels(w, spatial_shapes, planes), scale)
 
 
-def _roll_pad_levels(w, spatial_shapes, planes):
+def _roll_pad_levels(w, spatial_shapes, planes, tail_panels=0):
     """Corner-pack packed words `w` [B, ch/sub, keys] via minor-axis rolls,
     pad each level's key axis to a 128 multiple, concatenate levels.
-    Returns (table [B, planes*ch/sub, HWp], level_base panels)."""
+    Returns (table [B, planes*ch/sub, HWp], level_base panels).
+
+    tail_panels > 0 appends that many extra zero panels to the LAST level's
+    pad — the multi-panel sweep's slack (msda_gather panel_width) — so it
+    rides the existing level-concat fusion instead of re-materializing the
+    whole table in a separate jnp.pad (measured 1.15 ms/table-build at base
+    SCA shapes, trace 2026-08-20)."""
     starts = [0]
     for h, wd in spatial_shapes:
         starts.append(starts[-1] + h * wd)
     tables = []
     level_base = []
     panels = 0
+    last = len(spatial_shapes) - 1
     for lvl, (H, W) in enumerate(spatial_shapes):
         v = w[:, :, starts[lvl] : starts[lvl + 1]]
         rolls = (0, -W) if planes == 2 else (0, -1, -W, -(W + 1))
@@ -433,8 +440,9 @@ def _roll_pad_levels(w, spatial_shapes, planes):
             [v if r == 0 else jnp.roll(v, r, axis=2) for r in rolls], axis=1
         )  # [B, planes*ch/sub, HW]
         hw_pad = (-(H * W)) % 128
-        if hw_pad:
-            v4 = jnp.pad(v4, ((0, 0), (0, 0), (0, hw_pad)))
+        tail = tail_panels * 128 if lvl == last else 0
+        if hw_pad or tail:
+            v4 = jnp.pad(v4, ((0, 0), (0, 0), (0, hw_pad + tail)))
         tables.append(v4)
         level_base.append(panels)
         panels += (H * W + hw_pad) // 128
@@ -841,10 +849,6 @@ def _sorted_core(
     else:
         two_plane = blk4 > 8_000_000 and blk4 // 2 <= 8_000_000
 
-    table, level_base, scale = _pack_tables_from_vt(
-        vt, spatial_shapes, packed, planes=2 if two_plane else 4
-    )
-
     # v5e VMEM is ~16 MB scoped and the table block is double-buffered
     # across the grid's (cam*head) axis: when one table block would exceed
     # ~8 MB, split it along the KEY axis into panel ranges.  Each tap lands
@@ -852,8 +856,11 @@ def _sorted_core(
     # make the off-range passes nearly free — unlike the earlier corner
     # split, which re-paid every panel visit per corner group (temporal
     # self-attention ran 2x the visits for its 10.3 MB table).
-    blk_bytes = table.shape[1] * table.shape[2] * 4
-    panels_total = table.shape[2] // 128
+    # (sizes derived from spatial_shapes so the split decision — and the
+    # panel_width tail-pad below — can be made BEFORE the table build)
+    CHT_ = (2 if two_plane else 4) * ch // sub
+    blk_bytes = CHT_ * keys_pad * 4
+    panels_total = keys_pad // 128
     # MSDA_KG: env override of the key-range split count (A/B harness)
     n_splits = (
         key_groups
@@ -861,6 +868,18 @@ def _sorted_core(
         or max(1, -(-blk_bytes // 8_000_000))
     )
     n_splits = min(n_splits, panels_total)
+
+    # panels per sweep iteration (see np_default below); decided here so a
+    # single-kernel call can bake the (NP-1)-panel slack into the table
+    # build's level concat instead of a whole-table re-pad in the kernel
+    L_ = len(spatial_shapes)
+    np_default = 4 if L_ > 1 else 1
+    npw = int(os.environ.get("MSDA_NP", "0")) or np_default
+    tail = (npw - 1) if (n_splits == 1 and not two_plane) else 0
+    table, level_base, scale = _pack_tables_from_vt(
+        vt, spatial_shapes, packed, planes=2 if two_plane else 4,
+        tail_panels=tail,
+    )
     nrows = 4 * ch // sub
     # union-sweep row group: as many points as fit the per-visit register
     # budget (row_group * nrows <= 256 gathered sublanes), but never across
@@ -918,15 +937,14 @@ def _sorted_core(
     # at those spans (tools/kernel_bench3.py, v5e 2026-08-19).  Single-level
     # callers (temporal BEV, decoder) have span ~1-2 where the over-sweep
     # LOSES (span1: 463 vs 600 ns/group), so NP=1 there.  MSDA_NP overrides.
-    np_default = 4 if L > 1 else 1
-    npw = int(os.environ.get("MSDA_NP", "0")) or np_default
+    # (npw itself is computed above, before the table build.)
 
     if n_splits == 1:
         out = msda_gather_sorted(
             table, lane, m4, pmin, pspan,
             rows=rows, ch=ch, corners=4, packed=packed, interpret=interpret,
             row_group=rg, alive=alive, q_blocks=qbb, two_plane=two_plane,
-            panel_width=npw,
+            panel_width=npw, tail_padded=tail > 0,
         )  # [B, ch, QB*128] f32 (channels already in order — half pairing)
     else:
         per = -(-panels_total // n_splits)

@@ -241,7 +241,7 @@ def _blend(
     static_argnames=(
         "rows", "ch", "corners", "packed", "interpret", "row_group",
         "emit_rows", "tap_share", "out_dtype", "q_blocks", "two_plane",
-        "panel_width",
+        "panel_width", "tail_padded",
     ),
 )
 def msda_gather_sorted(
@@ -263,6 +263,9 @@ def msda_gather_sorted(
     q_blocks: int = 1,  # query blocks per program (amortizes program cost)
     two_plane: bool = False,  # table stores (k, k+W) only; lane has 2 variants
     panel_width: int = 1,  # panels per sweep iteration (4 for wide-span rows)
+    tail_padded: bool = False,  # caller pre-padded (panel_width-1) tail
+    # panels into the table build (ops/msda._roll_pad_levels tail_panels) —
+    # skips the whole-table re-pad here (measured 1.15 ms/build at base)
 ) -> jax.Array:
     """Returns [B, ch, QB*128] f32.
 
@@ -291,7 +294,7 @@ def msda_gather_sorted(
     """
     if panel_width > 1 and two_plane:
         panel_width = 1  # two-plane keeps the single-panel sweep (A/B path)
-    if panel_width > 1:
+    if panel_width > 1 and not tail_padded:
         # headroom so the widest NP-panel slice never leaves the table
         table = jnp.pad(table, ((0, 0), (0, 0), (0, (panel_width - 1) * 128)))
     B, CHT, HWp = table.shape

@@ -79,6 +79,8 @@ def main():
     )
     ap.add_argument("--out", default="ACCURACY_r3.json")
     ap.add_argument("--workdir", default="/tmp/acc_cycle")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="synthetic-scene seed (3-seed spread runs)")
     ap.add_argument("--shared-gt", action="store_true",
                     help="constant scene (same GT every frame) — reaches "
                     "meaningful AP in a short overfit run")
@@ -97,7 +99,8 @@ def main():
         shape = ["--cams", "6", "--width", "800", "--height", "480"]
     extra = ["--shared-gt"] if args.shared_gt else []
     run([py, REPO / "tools/make_synthetic_nuscenes.py", synth,
-         "--frames", args.frames, *shape, *extra], wd / "00_data.log")
+         "--frames", args.frames, "--seed", args.seed, *shape, *extra],
+        wd / "00_data.log")
 
     ckpt = wd / "fp.msgpack"
     run([py, REPO / "tools/bevformer/train.py", args.model,
@@ -153,6 +156,7 @@ def main():
 
     rec = {
         "model": args.model,
+        "seed": args.seed,
         "frames": args.frames,
         "train_steps": args.steps,
         "qat_steps": args.qat_steps,

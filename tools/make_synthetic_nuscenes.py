@@ -41,6 +41,7 @@ def main():
         "deltas are the point of the synthetic accuracy cycle, not scene "
         "variety)",
     )
+    ap.add_argument("--seed", type=int, default=0)
     ap.add_argument(
         "--plain-images", action="store_true",
         help="old behavior: pure-noise images (no scene signal)",
@@ -55,7 +56,7 @@ def main():
 
     out = Path(args.out_dir)
     (out / "samples").mkdir(parents=True, exist_ok=True)
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(args.seed)
 
     CLASS_POOL = [
         "car", "truck", "bus", "trailer", "construction_vehicle",
