@@ -20,6 +20,7 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="r50", choices=["r50", "micro"])
     ap.add_argument("--infos", required=True)
     ap.add_argument("--data-root", default=None)
     ap.add_argument("--checkpoint", default=None)
@@ -37,7 +38,7 @@ def main():
     enable_compilation_cache()  # persistent cache: skip remote recompiles
     import jax.numpy as jnp
 
-    from bevformer_tensorrt_tpu.configs.bevdet import bevdet_r50
+    from bevformer_tensorrt_tpu.configs.bevdet import bevdet_micro, bevdet_r50
     from bevformer_tensorrt_tpu.data.nuscenes import IMG_NORM_PYTORCH, NuScenesFrames
     from bevformer_tensorrt_tpu.models.detectors.bevdet import BEVDet
     from bevformer_tensorrt_tpu.models.necks.view_transformer import (
@@ -47,7 +48,8 @@ def main():
     from bevformer_tensorrt_tpu.quant.calibrate import calibrate
     from bevformer_tensorrt_tpu.runtime.checkpoint import load_checkpoint, save_checkpoint
 
-    cfg = bevdet_r50(quant=True)
+    mk = bevdet_micro if args.model == "micro" else bevdet_r50
+    cfg = mk(quant=True)
     model = BEVDet(cfg)
     frames = NuScenesFrames(
         args.infos, args.data_root, img_norm=IMG_NORM_PYTORCH,

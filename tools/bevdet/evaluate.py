@@ -23,6 +23,7 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="r50", choices=["r50", "micro"])
     ap.add_argument("--infos", required=True)
     ap.add_argument("--data-root", default=None)
     ap.add_argument("--checkpoint", default=None)
@@ -49,7 +50,7 @@ def main():
     enable_compilation_cache()  # persistent cache: skip remote recompiles
     import jax.numpy as jnp
 
-    from bevformer_tensorrt_tpu.configs.bevdet import bevdet_r50
+    from bevformer_tensorrt_tpu.configs.bevdet import bevdet_micro, bevdet_r50
     from bevformer_tensorrt_tpu.data.nuscenes import IMG_NORM_PYTORCH, NuScenesFrames
     from bevformer_tensorrt_tpu.evalsuite import (
         detections_to_eval_boxes,
@@ -67,7 +68,8 @@ def main():
     quant = False
     if args.quant_scales:
         quant = "int8" if args.quant == "int8" else True
-    cfg = bevdet_r50(dtype=args.dtype, quant=quant)
+    mk = bevdet_micro if args.model == "micro" else bevdet_r50
+    cfg = mk(dtype=args.dtype, quant=quant)
     model = BEVDet(cfg)
     frames = NuScenesFrames(
         args.infos, args.data_root, img_norm=IMG_NORM_PYTORCH,
