@@ -92,6 +92,14 @@ def bevdet_micro(**over) -> BEVDetConfig:
         grid_ybound=(-8.0, 8.0, 1.0),
         depth_bound=(1.0, 9.0, 1.0),
         max_num=32,
+        # decode consistency: centerpoint_decode maps grid cells back to
+        # lidar via pc_range + voxel_size*out_size_factor — these must
+        # equal the grid bounds/step (cell = 0.125*8 = 1.0 m over +-8 m),
+        # or every decoded box lands at the wrong coordinates (r5: micro
+        # accuracy cycle read mAP 0.0 from exactly this mismatch)
+        pc_range=(-8.0, -8.0, -5.0, 8.0, 8.0, 3.0),
+        post_center_range=(-10.0, -10.0, -10.0, 10.0, 10.0, 10.0),
+        voxel_size=(0.125, 0.125),
     )
     d.update(over)
     return BEVDetConfig(**d)

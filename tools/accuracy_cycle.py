@@ -60,7 +60,8 @@ def main():
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--qat-steps", type=int, default=30)
-    ap.add_argument("--lr", type=float, default=4e-4)
+    ap.add_argument("--lr", type=float, default=2e-4,
+                help="2e-4: 4e-4 destabilizes the tiny bbox loss post-warmup (NOTES_r4)")
     ap.add_argument("--qat-lr", type=float, default=1e-5,
                     help="QAT fine-tune lr (reference: 1e-6 SGD for a full "
                     "epoch; higher here to move in a short synthetic run)")
