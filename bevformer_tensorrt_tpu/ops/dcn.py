@@ -213,13 +213,17 @@ def _dcn_pallas(
     lane = (key - pm * 128).astype(jnp.int32)
 
     mm_dtype = jnp.bfloat16 if packed else f32
+    qbb = min(4, QB)
     im = msda_gather_sorted(
         table, lane, m4.astype(jnp.bfloat16 if packed else f32), pmin, pspan,
         rows=rows, ch=ch_group, corners=4, packed=packed, interpret=interpret,
         row_group=rg, emit_rows=True, tap_share=G, out_dtype=mm_dtype,
-        q_blocks=min(4, QB),  # emit_rows output blocks are rows*ch wide
-    )  # [B, rows*chg, QB*128]
-    im = im.reshape(N, G, rows, ch_group, QB * 128)
+        q_blocks=qbb,  # emit_rows output blocks are rows*ch wide
+        keep_pad=True,  # the GEMM consumes pad columns; [:, :S] slices the
+        # small GEMM output instead of an 85 MB im2col copy here
+    )  # [B, rows*chg, QBp*128]
+    QBp = QB + (-QB) % qbb
+    im = im.reshape(N, G, rows, ch_group, QBp * 128)
     if scale is not None:
         # int8 table dequant: out is linear in the table, so the per-(image,
         # channel-group) scale lands on the im2col rows

@@ -435,14 +435,20 @@ def _roll_pad_levels(w, spatial_shapes, planes, tail_panels=0):
     last = len(spatial_shapes) - 1
     for lvl, (H, W) in enumerate(spatial_shapes):
         v = w[:, :, starts[lvl] : starts[lvl + 1]]
+        hw_pad = (-(H * W)) % 128
+        tail = tail_panels * 128 if lvl == last else 0
+        # pad BEFORE the corner rolls: 1/planes the data of padding the
+        # rolled concat, and XLA fuses the pad into the upstream pack
+        # (trace 2026-08-20: the pad-after-concat re-materialized the whole
+        # table, 4.9 ms/frame on the DCN path alone).  Exact: a roll on the
+        # padded axis replaces the wrap-around rows with zeros, and wrap
+        # rows are always weight-masked (corner outside the image).
+        if hw_pad or tail:
+            v = jnp.pad(v, ((0, 0), (0, 0), (0, hw_pad + tail)))
         rolls = (0, -W) if planes == 2 else (0, -1, -W, -(W + 1))
         v4 = jnp.concatenate(
             [v if r == 0 else jnp.roll(v, r, axis=2) for r in rolls], axis=1
-        )  # [B, planes*ch/sub, HW]
-        hw_pad = (-(H * W)) % 128
-        tail = tail_panels * 128 if lvl == last else 0
-        if hw_pad or tail:
-            v4 = jnp.pad(v4, ((0, 0), (0, 0), (0, hw_pad + tail)))
+        )  # [B, planes*ch/sub, HWp]
         tables.append(v4)
         level_base.append(panels)
         panels += (H * W + hw_pad) // 128
@@ -489,7 +495,7 @@ def _prep_taps(
 
 def _prep_taps_qminor(
     refT, offT, attnT, spatial_shapes, num_heads, level_base, row_group=1,
-    two_plane=False,
+    two_plane=False, m4_dtype=jnp.float32, scale=None,
 ):
     """Tap rows for the sorted kernel, query-MINOR layout throughout.
 
@@ -520,6 +526,13 @@ def _prep_taps_qminor(
     QB = (num_q + q_pad) // 128
 
     wT = jax.nn.softmax(attnT, axis=2).reshape(bs, num_heads, L, P, num_q)
+    if scale is not None:
+        # int8 table dequant folded into the attention weights BEFORE the
+        # corner products — m4 is linear in wT, and folding here lets the
+        # whole slot/stack chain emit m4_dtype directly (no f32 m4 tensor
+        # ever materializes; scale > 0 so the dead-group sign test below
+        # is unchanged)
+        wT = wT * scale.reshape(bs, num_heads, 1, 1, 1)
 
     if q_pad:
         pad = ((0, 0),) * (offT.ndim - 1) + ((0, q_pad),)
@@ -551,7 +564,9 @@ def _prep_taps_qminor(
             .transpose(0, 1, 3, 2, 4)
             .reshape(bs, num_heads, P, qp)
         )  # [bs, heads, P, q] in the same z-major order
-        m4 = jnp.stack([s * wl for s in slots], axis=3)  # [bs, h, P, 4, q]
+        m4 = jnp.stack(
+            [(s * wl).astype(m4_dtype) for s in slots], axis=3
+        )  # [bs, h, P, 4, q]
         lanes.append(key)
         m4s.append(m4)
     key = jnp.stack(lanes, axis=2)  # [bs, h, L, P, qp]
@@ -584,7 +599,10 @@ def _prep_taps_qminor(
     # border-clamped keys would still sweep 1-2 panels.  span=0 makes the
     # kernel's fori_loop skip the group entirely.  m4 >= 0 always (bilinear
     # slots x softmax weights), so max==0 detects dead exactly.
-    galive = m4.reshape(B, ng, -1, QB, 128).max(axis=(2, 4)).transpose(0, 2, 1) > 0
+    galive = (
+        m4.astype(jnp.float32).reshape(B, ng, -1, QB, 128)
+        .max(axis=(2, 4)).transpose(0, 2, 1) > 0
+    )
     pspan = jnp.where(galive, pspan, 0)
     # pm broadcast back to the key layout (fused elementwise, no relayout):
     # [B, QB, ng] -> [B, ng, QB] -> rows/128-lane expansion
@@ -593,7 +611,7 @@ def _prep_taps_qminor(
     if two_plane:
         pm = pm[:, :, None, :]
     lane = (key - pm * 128).astype(jnp.int32)
-    return lane, m4.astype(jnp.float32), pmin, pspan
+    return lane, m4, pmin, pspan
 
 
 @functools.partial(
@@ -902,9 +920,19 @@ def _sorted_core(
         while rows % rg:
             rg -= 1
 
+    # packed (bf16/int8 table) paths carry m4 in bf16 — the [0,1] corner
+    # x attention weights match the reference fp16 plugin's weight
+    # precision, and m4 is the largest per-layer prep tensor.  The f32
+    # table path keeps f32 m4 (fp32-exactness contract for tests).  Both
+    # the dtype and the int8 dequant scale are folded INTO the prep's slot
+    # products so no f32 m4 (346 MB/layer at base cross shapes) ever
+    # materializes (trace 2026-08-20: the post-prep scale-mul + cast cost
+    # ~6 ms/frame of pure copies).
     lane, m4, pmin, pspan = _prep_taps_qminor(
         refT, offT, attnT, spatial_shapes, num_heads, level_base, row_group=rg,
         two_plane=two_plane,
+        m4_dtype=jnp.bfloat16 if packed else jnp.float32,
+        scale=scale,
     )
     # whole-block skip flags: a 128-query block whose every corner weight is
     # zero (the compaction's invisible tail) is written as zeros by the
@@ -912,17 +940,9 @@ def _sorted_core(
     Bq = m4.shape[0]
     qp_all = m4.shape[-1]
     alive = (
-        jnp.abs(m4).reshape(Bq, rows * 4, qp_all // 128, 128).sum(axis=(1, 3)) > 0
+        jnp.abs(m4.astype(jnp.float32))
+        .reshape(Bq, rows * 4, qp_all // 128, 128).sum(axis=(1, 3)) > 0
     ).astype(jnp.int32)  # [B, QB]
-    if scale is not None:
-        # dequant folded into the corner weights: out = s_b * sum m * q
-        m4 = m4 * scale[:, None, None, None]
-    if packed:
-        # packed (bf16/int8 table) paths carry m4 in bf16 — the [0,1] corner
-        # x attention weights match the reference fp16 plugin's weight
-        # precision, and m4 is the largest per-layer prep tensor.  The f32
-        # table path keeps f32 m4 (fp32-exactness contract for tests).
-        m4 = m4.astype(jnp.bfloat16)
 
     # query blocks per program: amortizes the ~1.2 us program fixed cost
     # over several blocks.  MEASURED no effect on v5e at base shapes

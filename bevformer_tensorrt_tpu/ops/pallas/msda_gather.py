@@ -241,7 +241,7 @@ def _blend(
     static_argnames=(
         "rows", "ch", "corners", "packed", "interpret", "row_group",
         "emit_rows", "tap_share", "out_dtype", "q_blocks", "two_plane",
-        "panel_width", "tail_padded",
+        "panel_width", "tail_padded", "keep_pad",
     ),
 )
 def msda_gather_sorted(
@@ -266,6 +266,10 @@ def msda_gather_sorted(
     tail_padded: bool = False,  # caller pre-padded (panel_width-1) tail
     # panels into the table build (ops/msda._roll_pad_levels tail_panels) —
     # skips the whole-table re-pad here (measured 1.15 ms/build at base)
+    keep_pad: bool = False,  # return the q_blocks-padded output
+    # [B, out_ch, ceil(QB/QBB)*QBB*128] — callers that feed a GEMM slice the
+    # (much smaller) GEMM output instead; the tail-slice here was an 85 MB
+    # copy per DCN call (11 ms/frame at base, trace 2026-08-20)
 ) -> jax.Array:
     """Returns [B, ch, QB*128] f32.
 
@@ -390,4 +394,4 @@ def msda_gather_sorted(
         out_shape=jax.ShapeDtypeStruct((B, out_ch, QBp * 128), out_dtype),
         interpret=interpret,
     )(pmin, pspan, alive3, lane, m4, table)
-    return out[:, :, : QB * 128] if qb_pad else out
+    return out if (keep_pad or not qb_pad) else out[:, :, : QB * 128]
