@@ -71,7 +71,7 @@ def cycle_bevdet(args, wd):
 def cycle_2d(which, args, wd):
     py = sys.executable
     synth = wd / "synth"
-    ann = synth / "instances.json"
+    ann = synth / "instances_synthetic.json"
     img_root = synth / "images"
     run([py, REPO / "tools/make_synthetic_coco.py", synth,
          "--images", "48", "--size", "96", "--seed", args.seed],
