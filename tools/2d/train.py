@@ -86,7 +86,19 @@ def main():
         cfg = getattr(ccfg, args.model)(quant=qat)
         model = CenterNet(cfg)
 
-    ds = CocoDataset(args.ann, args.img_root, img_size=cfg.img_size)
+    if is_yolox:
+        ds = CocoDataset(args.ann, args.img_root, img_size=cfg.img_size)
+    else:
+        # CenterNet trains on the mmdet pipeline's ImageNet-normalized RGB
+        # (configs/centernet/centernet_resnet18_140e_coco.py img_norm_cfg) —
+        # MUST match calibrate/evaluate, which already normalize this way:
+        # an r5 cycle trained raw-BGR and evaluated ImageNet-RGB read
+        # mAP 0.0 from a converged model
+        ds = CocoDataset(
+            args.ann, args.img_root, img_size=cfg.img_size,
+            mean=(123.675, 116.28, 103.53), std=(58.395, 57.12, 57.375),
+            to_rgb=True,
+        )
     nc = cfg.num_classes
     augment = None
     if not args.no_augment:
