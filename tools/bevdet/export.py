@@ -150,7 +150,10 @@ def main():
         aot_compile(forward, (variables, image))
         print("AOT compile done (persistent cache warm)", file=sys.stderr)
     sizes = {p.name: p.stat().st_size for p in out.iterdir()}
-    print(json.dumps({"out": str(out), "artifacts": sizes}))
+    print(json.dumps({
+        "out": str(out), "artifacts": sizes,
+        "artifact_mb": round(sum(sizes.values()) / 1e6, 1),
+    }))
 
 
 if __name__ == "__main__":
