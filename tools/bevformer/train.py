@@ -315,6 +315,29 @@ def main():
 
     it = temporal_batch_iter() if args.temporal else batch_iter()
 
+    # small-dataset overfit runs: device-put every distinct batch ONCE and
+    # cycle over the cached device arrays.  Besides skipping the per-step
+    # JPEG decode, this works around a host-side leak in the tunneled axon
+    # client that retains ~one image batch per transfer (an r5 tiny 5000-
+    # step run was OOM-killed at 129 GB RSS, ~40 MB/step — exactly the
+    # per-step image upload).
+    n_distinct = (len(frames) if not args.temporal else 10 ** 9) // max(dp, 1)
+    if 0 < n_distinct <= 64:
+        cached = [put_batch(next(it)) for _ in range(n_distinct)]
+        print(f"cached {len(cached)} device-resident batches (overfit mode)",
+              file=sys.stderr, flush=True)
+
+        def cached_iter():
+            rng = np.random.default_rng(1)
+            order = np.arange(len(cached))
+            while True:
+                rng.shuffle(order)
+                for k in order:
+                    yield cached[int(k)]
+
+        it = cached_iter()
+        put_batch = lambda b: b  # noqa: E731 - already device-resident
+
     # same host-side guard the engine runs at deploy (runtime/engine.py):
     # a rig whose cameras see more BEV queries than the compaction budget
     # would silently truncate cross-attention during TRAINING too.
