@@ -414,6 +414,24 @@ def main():
         log("no accelerator — falling back to tiny")
         args.model = "tiny"
 
+    # execution probe with settle-retries: after a kernel fault the TPU
+    # worker stays POISONED for minutes (even trivial programs fail,
+    # NOTES_r5.md) — if this bench starts in that window, wait it out
+    # instead of banking a doomed bf16 run.
+    if dev.platform != "cpu":
+        import jax.numpy as _jnp
+
+        for attempt in range(5):
+            try:
+                np.asarray(jax.jit(lambda x: x + 1.0)(_jnp.zeros((8, 128)))[0, 0])
+                break
+            except Exception as e:
+                log(f"device exec probe failed ({type(e).__name__}); "
+                    f"worker likely recovering — waiting 240s "
+                    f"(attempt {attempt + 1}/5)")
+                time.sleep(240.0)
+                jax.clear_caches()
+
     # Reliability design (VERDICT r4 item 1, revised after the r5 device
     # investigation): an int8 device fault POISONS the TPU worker for
     # minutes — after one crash even known-stable bf16 programs fail until
