@@ -444,15 +444,26 @@ def main():
     errors = []
     banked = None
     if args.quant != "none" and not args.no_fallback:
-        try:
-            log("banking a bf16 record before attempting int8 "
-                "(crash-poisoning guard, NOTES_r5.md)")
-            banked = run_config(args, "none", {})
-        except Exception as e:
-            import traceback
+        # the trivial exec probe above can pass while base-SIZED programs
+        # still crash on a recovering worker (observed 2026-08-20 evening),
+        # so the bank itself retries with long settles — without a banked
+        # bf16 record every later rung is at the int8 fault's mercy
+        for bank_try in range(3):
+            try:
+                log("banking a bf16 record before attempting int8 "
+                    "(crash-poisoning guard, NOTES_r5.md)"
+                    + (f" [retry {bank_try}]" if bank_try else ""))
+                banked = run_config(args, "none", {})
+                break
+            except Exception as e:
+                import traceback
 
-            log(traceback.format_exc())
-            errors.append(f"bank[bf16]: {type(e).__name__}: {str(e)[:200]}")
+                log(traceback.format_exc())
+                errors.append(f"bank[bf16,try{bank_try}]: "
+                              f"{type(e).__name__}: {str(e)[:160]}")
+                if bank_try < 2:
+                    log("bank run died — waiting 420s for worker recovery")
+                    time.sleep(420.0)
 
     ladder = [(args.quant, {})]
     if not args.no_fallback:
