@@ -467,9 +467,14 @@ def main():
 
     ladder = [(args.quant, {})]
     if not args.no_fallback:
-        ladder.append((args.quant, dict(CONSERVATIVE_KNOBS)))
-        if args.quant == "none" or banked is None:
-            ladder.append(("none", dict(CONSERVATIVE_KNOBS)))
+        # the conservative-knob retry never avoided the r5 backend fault
+        # (NOTES_r5 experiment table) — with a banked bf16 record in hand a
+        # second int8 attempt only adds another worker crash, so retry
+        # rungs exist only when there is NO banked record to fall back on
+        if banked is None:
+            ladder.append((args.quant, dict(CONSERVATIVE_KNOBS)))
+            if args.quant != "none":
+                ladder.append(("none", dict(CONSERVATIVE_KNOBS)))
 
     record = None
     used = None
