@@ -166,7 +166,19 @@ def run_config(args, quant, knob_env):
     jax.block_until_ready(variables)
     log(f"init: {time.perf_counter() - t0:.1f}s")
 
-    if quant != "none":
+    if quant != "none" and args.scales:
+        # the accuracy-validated configuration: percentile/entropy scales
+        # from tools/<family>/calibrate.py (VERDICT r4 weak item 8 — without
+        # this the benched int8 config drifts from the evaluated one)
+        from bevformer_tensorrt_tpu.quant.fold import attach_quant_scales
+        from bevformer_tensorrt_tpu.runtime.checkpoint import load_checkpoint
+
+        scales = load_checkpoint(args.scales)
+        variables = attach_quant_scales(
+            variables, scales["quant"] if "quant" in scales else scales
+        )
+        log(f"quant scales loaded from {args.scales}")
+    elif quant != "none":
         # max-calibrate activation scales from one batch (random weights —
         # timing-representative; real deployments load calibrated scales)
         t0 = time.perf_counter()
@@ -367,6 +379,11 @@ def main():
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--detail-out", default=None,
                     help="write per-iteration latencies to this JSON file")
+    ap.add_argument("--scales", default=None,
+                    help="calibrated scale checkpoint (.msgpack from "
+                    "tools/bevformer/calibrate.py) — benches the accuracy-"
+                    "validated int8 configuration instead of one-batch "
+                    "random-weight max calibration")
     ap.add_argument("--knobs", default=None,
                     help="export artifact dir with autotuned kernel knobs "
                     "(knobs.json from tools/bevformer/export.py --autotune)")

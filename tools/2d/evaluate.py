@@ -140,23 +140,36 @@ def main():
     n = len(ds) if args.limit is None else min(args.limit, len(ds))
     gt_all, pred_all = [], []
     lat = []
+    # pipelined batches: dispatch batch b+1 (async) before the host
+    # readback + per-image post of batch b, overlapping host decode with
+    # device execution (same pattern as tools/bevformer/evaluate.py)
+    def finish(pending):
+        samples, decoded = pending
+        for i, sm in enumerate(samples):
+            b, sc, l = post(decoded, i, sm)
+            gt_all.extend(sm.gt)
+            pred_all.extend(
+                {"image_id": sm.image_id, "category_id": int(li), "bbox": bi.tolist(), "score": float(si)}
+                for bi, si, li in zip(b, sc, l)
+            )
+
+    pending = None
+    t_last = time.perf_counter()
     for s in range(0, n, B):
         samples = [ds.sample(i) for i in range(s, min(s + B, n))]
         batch = np.zeros((B, 3, cfg.img_size, cfg.img_size), np.float32)
         for i, sm in enumerate(samples):
             batch[i] = sm.image
-        t0 = time.perf_counter()
         decoded = infer_jit(variables, jnp.asarray(batch))
-        jax.tree.leaves(decoded)[0].block_until_ready()
-        np.asarray(jax.tree.leaves(decoded)[0].ravel()[0])
-        lat.append((time.perf_counter() - t0) / len(samples))
-        for i, sm in enumerate(samples):
-            b, sc, l = post(decoded, i, sm)
-            gt_all += sm.gt
-            pred_all += [
-                {"image_id": sm.image_id, "category_id": int(li), "bbox": bi.tolist(), "score": float(si)}
-                for bi, si, li in zip(b, sc, l)
-            ]
+        if pending is not None:
+            finish(pending)
+            now = time.perf_counter()
+            lat.append((now - t_last) / len(pending[0]))
+            t_last = now
+        pending = (samples, decoded)
+    if pending is not None:
+        finish(pending)
+        lat.append((time.perf_counter() - t_last) / len(pending[0]))
 
     num_classes = cfg.num_classes
     metrics = evaluate_coco_map(gt_all, pred_all, num_classes)

@@ -120,14 +120,30 @@ def main():
     gt_all, pred_all = [], []
     lat = []
     n = len(frames) if args.limit is None else min(args.limit, len(frames))
+
+    # pipelined: dispatch frame i+1 (async) before the host readback +
+    # CenterPoint decode of frame i, overlapping host post-process with
+    # device execution (same pattern as tools/bevformer/evaluate.py)
+    def finish(pending):
+        f, heads = pending
+        det = centerpoint_post_process(cfg, heads)
+        pred_all.extend(detections_to_eval_boxes(f.sample_token, det))
+        gt_all.extend(gt_to_eval_boxes(f.sample_token, f.gt_boxes, f.gt_labels))
+
+    pending = None
+    t_last = time.perf_counter()
     for i in range(n):
         f = frames.frame(i)
-        t0 = time.perf_counter()
         heads = apply_fn(variables, jnp.asarray(f.image))
-        det = centerpoint_post_process(cfg, heads)
-        lat.append(time.perf_counter() - t0)
-        pred_all += detections_to_eval_boxes(f.sample_token, det)
-        gt_all += gt_to_eval_boxes(f.sample_token, f.gt_boxes, f.gt_labels)
+        if pending is not None:
+            finish(pending)
+            now = time.perf_counter()
+            lat.append(now - t_last)
+            t_last = now
+        pending = (f, heads)
+    if pending is not None:
+        finish(pending)
+        lat.append(time.perf_counter() - t_last)
 
     metrics = evaluate_nuscenes(gt_all, pred_all, verbose=True)
     l = lat[1:-1] if len(lat) > 2 else lat

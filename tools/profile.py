@@ -29,6 +29,10 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     import jax.numpy as jnp
 
     from bevformer_tensorrt_tpu.configs import bevformer as cfgs
