@@ -193,16 +193,40 @@ class NuScenesFrames:
     def frame(self, idx: int) -> Frame:
         info = self.infos[idx]
         cams = list(info["cams"].values())
-        raw = [
-            load_image(self._resolve(cam["data_path"])).astype(np.float32)
-            for cam in cams
-        ]
+        raw = [load_image(self._resolve(cam["data_path"])) for cam in cams]  # u8 BGR
         l2i_s = np.stack([lidar2img_from_cam_info(c) for c in cams]).astype(np.float32)
         if self.augment is not None:
             # train-pipeline augmentation (photometric / random scale) runs
             # on raw float32 BGR, BEFORE normalize+pad — matching the
             # reference pipeline order (bevformer_base.py:211-225).
+            raw = [r.astype(np.float32) for r in raw]
             raw, l2i_s = self.augment(raw, l2i_s)
+        elif self.target_hw is not None and len({r.shape for r in raw}) == 1:
+            # eval fast path: fused normalize+pad+CHW in one multi-threaded
+            # native pass (csrc/image_pipeline.cpp) — the numpy per-camera
+            # chain below costs ~0.5 s/frame at tiny shapes and starves the
+            # device (reference keeps this in mmcv's C loops for the same
+            # reason, NormalizeMultiviewImage/PadMultiViewImage)
+            from ..native import normalize_pad_chw_native
+
+            th, tw = self.target_hw
+            image = normalize_pad_chw_native(
+                np.stack(raw), th, tw,
+                self.img_norm.mean, self.img_norm.std, self.img_norm.to_rgb,
+            )[None]
+            gt_boxes, gt_labels = extract_gt(info) if self.with_gt else (None, None)
+            return Frame(
+                sample_token=info["token"],
+                scene_token=info.get("scene_token", ""),
+                image=image,
+                can_bus=process_can_bus(info),
+                lidar2img=l2i_s[None],
+                timestamp=info["timestamp"] / 1e6,
+                gt_boxes=gt_boxes,
+                gt_labels=gt_labels,
+                ego2global_translation=np.asarray(info["ego2global_translation"], np.float64),
+                ego2global_rotation=np.asarray(info["ego2global_rotation"], np.float64),
+            )
         imgs = []
         for img in raw:
             img = normalize_image(img, self.img_norm)

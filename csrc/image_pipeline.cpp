@@ -30,13 +30,15 @@ void normalize_pad_chw(const uint8_t* src, float* dst, int64_t n_imgs,
       const int64_t src_c = to_rgb ? 2 - c : c;  // BGR source -> RGB select
       const uint8_t* s = src + img * h * w * 3;
       float* d = dst + (img * 3 + c) * out_h * out_w;
+      const int64_t wcopy = w < out_w ? w : out_w;  // crop right, never overrun
       for (int64_t y = 0; y < out_h; y++) {
         if (y < h) {
           const uint8_t* row = s + y * w * 3 + src_c;
           float* drow = d + y * out_w;
-          for (int64_t x = 0; x < w; x++)
+          for (int64_t x = 0; x < wcopy; x++)
             drow[x] = ((float)row[x * 3] - mean[c]) * inv_std[c];
-          if (out_w > w) std::memset(drow + w, 0, sizeof(float) * (out_w - w));
+          if (out_w > wcopy)
+            std::memset(drow + wcopy, 0, sizeof(float) * (out_w - wcopy));
         } else {
           std::memset(d + y * out_w, 0, sizeof(float) * out_w);
         }
