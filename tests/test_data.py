@@ -117,3 +117,53 @@ class TestTrainTransforms:
         np.testing.assert_allclose(a.lidar2img[0, :, :2], 0.5 * p.lidar2img[0, :, :2], rtol=1e-5)
         # augmented pixels differ from the clean pipeline
         assert np.abs(a.image - p.image).max() > 1e-3
+
+
+    def test_nuscenes_frames_fused_loader_matches_numpy_chain(self, tmp_path):
+        """The eval fast path (csrc/image_pipeline.cpp fused
+        normalize+pad+CHW, wired when augment is None) must be numerically
+        identical to the reference numpy chain it replaced
+        (normalize_image -> pad_to_divisor -> grow/crop -> CHW)."""
+        import subprocess
+        import sys
+        from pathlib import Path
+
+        repo = Path(__file__).resolve().parents[1]
+        synth = tmp_path / "synth"
+        subprocess.run(
+            [sys.executable, str(repo / "tools/make_synthetic_nuscenes.py"),
+             str(synth), "--frames", "2", "--cams", "2",
+             "--width", "160", "--height", "96"],
+            check=True, capture_output=True,
+        )
+        from bevformer_tensorrt_tpu.data.nuscenes import (
+            IMG_NORM_PYTORCH,
+            NuScenesFrames,
+            load_image,
+            normalize_image,
+            pad_to_divisor,
+        )
+
+        # target LARGER than the images in one dim and non-divisible by 32
+        # in the other exercises both the pad and the crop branches
+        th, tw = 100, 192
+        fr = NuScenesFrames(
+            synth / "nuscenes_infos_synthetic.pkl", synth,
+            img_norm=IMG_NORM_PYTORCH, target_hw=(th, tw),
+        )
+        f = fr.frame(0)
+        info = fr.infos[0]
+        imgs = []
+        for cam in info["cams"].values():
+            img = load_image(fr._resolve(cam["data_path"])).astype(np.float32)
+            img = pad_to_divisor(normalize_image(img, IMG_NORM_PYTORCH))
+            if img.shape[0] < th or img.shape[1] < tw:
+                grown = np.zeros(
+                    (max(th, img.shape[0]), max(tw, img.shape[1]), 3), img.dtype
+                )
+                grown[: img.shape[0], : img.shape[1]] = img
+                img = grown
+            imgs.append(img[:th, :tw].transpose(2, 0, 1))
+        ref = np.stack(imgs)[None]
+        assert f.image.shape == ref.shape
+        np.testing.assert_allclose(f.image, ref, atol=2e-4)
